@@ -1,0 +1,95 @@
+"""Tile binning: duplicated-instance expansion, (tile, depth) sort, ranges.
+
+TPU-native replacement for the reference's cub pipeline
+(rasterizer_impl.cu:70-138, 284-325):
+
+  - duplicateWithKeys scatter -> a GATHER-based expansion: instance slot r
+    finds its Gaussian with searchsorted over the inclusive prefix sum of
+    tiles_touched, then derives its (tile_x, tile_y) from the slot's local
+    index inside the Gaussian's rect. Static capacity R replaces the
+    data-dependent num_rendered; overflow is reported, not hidden.
+  - the 64-bit [tileID|depth-bits] radix sort -> a stable two-key
+    `jax.lax.sort` on (tile, depth), which XLA lowers to an efficient
+    on-device sort.
+  - identifyTileRanges -> searchsorted boundaries on the sorted tile ids.
+
+Everything is integer/index math — gradients flow through the downstream
+GATHERS of per-Gaussian data, not through this module.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .preprocess import Preprocessed
+from .types import RasterSettings
+
+
+class Binning(NamedTuple):
+    gauss_id: jnp.ndarray     # [R] int32, sorted by (tile, depth); padding -> 0
+    tile_id: jnp.ndarray      # [R] int32; padding slots hold num_tiles
+    valid: jnp.ndarray        # [R] bool
+    tile_start: jnp.ndarray   # [T] int32 first sorted-instance index per tile
+    tile_count: jnp.ndarray   # [T] int32 instances per tile
+    num_rendered: jnp.ndarray  # scalar int32 (true count, may exceed R)
+    overflow: jnp.ndarray     # scalar bool
+
+
+def bin_gaussians(prep: Preprocessed, settings: RasterSettings,
+                  capacity: int) -> Binning:
+    N = prep.tiles_touched.shape[0]
+    num_tiles = settings.num_tiles
+    grid_x = settings.grid_x
+
+    if N == 0:
+        zero_t = jnp.zeros((num_tiles,), dtype=jnp.int32)
+        return Binning(
+            gauss_id=jnp.zeros((capacity,), dtype=jnp.int32),
+            tile_id=jnp.full((capacity,), num_tiles, dtype=jnp.int32),
+            valid=jnp.zeros((capacity,), dtype=bool),
+            tile_start=zero_t, tile_count=zero_t,
+            num_rendered=jnp.int32(0), overflow=jnp.asarray(False),
+        )
+
+    tiles = prep.tiles_touched
+    offsets = jnp.cumsum(tiles)                     # inclusive prefix sum
+    num_rendered = offsets[-1] if N > 0 else jnp.int32(0)
+    overflow = num_rendered > capacity
+
+    slot = jnp.arange(capacity, dtype=jnp.int32)
+    gid = jnp.searchsorted(offsets, slot, side="right").astype(jnp.int32)
+    valid = slot < num_rendered
+    gid = jnp.clip(gid, 0, max(N - 1, 0))
+
+    excl = offsets[gid] - tiles[gid]
+    local = slot - excl
+    rect_w = jnp.maximum(prep.rect_max[gid, 0] - prep.rect_min[gid, 0], 1)
+    ty = prep.rect_min[gid, 1] + local // rect_w
+    tx = prep.rect_min[gid, 0] + local % rect_w
+    tile = jnp.where(valid, ty * grid_x + tx, num_tiles).astype(jnp.int32)
+
+    depth = prep.depth[gid]
+    tile_s, _, gid_s, valid_s = jax.lax.sort(
+        (tile, depth, gid, valid), num_keys=2, is_stable=True)
+
+    t_idx = jnp.arange(num_tiles, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(tile_s, t_idx, side="left").astype(jnp.int32)
+    tile_end = jnp.searchsorted(tile_s, t_idx, side="right").astype(jnp.int32)
+
+    return Binning(
+        gauss_id=jnp.where(valid_s, gid_s, 0),
+        tile_id=tile_s,
+        valid=valid_s,
+        tile_start=tile_start,
+        tile_count=tile_end - tile_start,
+        num_rendered=num_rendered,
+        overflow=overflow,
+    )
+
+
+def required_capacity(prep: Preprocessed) -> jnp.ndarray:
+    """True num_rendered for capacity sizing (host-side decision)."""
+    return jnp.sum(prep.tiles_touched)

@@ -1,0 +1,120 @@
+"""Per-Gaussian preprocessing: projection, covariance, conic, radii, rects.
+
+Differentiable jnp replication of preprocessCUDA (forward.cu:156-256) plus
+the frustum test (auxiliary.h:139-164). Everything is dense [N]-shaped; culled
+Gaussians carry radius 0 / tiles_touched 0 and are masked downstream. Being
+pure elementwise/vmapped math, XLA fuses this whole stage into a handful of
+kernels and JAX autodiff provides the exact preprocess backward
+(backward.cu:144-414) for free.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from ..core import sh as sh_lib
+from ..core.covariance import build_cov3d, project_cov3d_to_2d
+from ..core.camera import ndc_to_pix, transform_point_4x3, transform_point_4x4
+from .types import RasterSettings, TILE_X, TILE_Y
+
+
+class Preprocessed(NamedTuple):
+    mean2d: jnp.ndarray        # [N,2] pixel-space centers
+    depth: jnp.ndarray         # [N] view-space z
+    conic: jnp.ndarray         # [N,3] inverse 2D covariance (a,b,c)
+    opacity: jnp.ndarray       # [N] per-Gaussian opacity
+    rgb: jnp.ndarray           # [N,3] SH-evaluated (clamped) colors
+    radii: jnp.ndarray         # [N] float pixel radius (0 = culled)
+    rect_min: jnp.ndarray      # [N,2] int32 tile rect (x, y) inclusive
+    rect_max: jnp.ndarray      # [N,2] int32 tile rect (x, y) exclusive
+    tiles_touched: jnp.ndarray  # [N] int32
+    visible: jnp.ndarray       # [N] bool (radius > 0 and in frustum)
+
+
+def get_rect(mean2d: jnp.ndarray, radius: jnp.ndarray,
+             grid_x: int, grid_y: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Tile rectangle per Gaussian (auxiliary.h:46-57 getRect)."""
+    rmin_x = jnp.clip(((mean2d[..., 0] - radius) / TILE_X).astype(jnp.int32), 0, grid_x)
+    rmin_y = jnp.clip(((mean2d[..., 1] - radius) / TILE_Y).astype(jnp.int32), 0, grid_y)
+    rmax_x = jnp.clip(((mean2d[..., 0] + radius + TILE_X - 1) / TILE_X).astype(jnp.int32), 0, grid_x)
+    rmax_y = jnp.clip(((mean2d[..., 1] + radius + TILE_Y - 1) / TILE_Y).astype(jnp.int32), 0, grid_y)
+    return (jnp.stack([rmin_x, rmin_y], axis=-1),
+            jnp.stack([rmax_x, rmax_y], axis=-1))
+
+
+def preprocess(
+    means3d: jnp.ndarray,           # [N,3]
+    scales: jnp.ndarray,            # [N,3] activated
+    rotations: jnp.ndarray,         # [N,4] unit wxyz
+    opacities: jnp.ndarray,         # [N] or [N,1] activated
+    shs: Optional[jnp.ndarray],     # [N,K,3] or None
+    settings: RasterSettings,
+    colors_precomp: Optional[jnp.ndarray] = None,  # [N,3]
+    screen_offset: Optional[jnp.ndarray] = None,   # [N,2] zeros; grad = dL/dmean2D
+) -> Preprocessed:
+    if opacities.ndim == 2:
+        opacities = opacities[..., 0]
+
+    # Frustum cull: view-space z > 0.2 (auxiliary.h:154-157)
+    p_view = transform_point_4x3(means3d, settings.viewmatrix)
+    in_front = p_view[..., 2] > 0.2
+
+    # Projection to NDC then pixels (forward.cu:197-200, 234)
+    p_hom = transform_point_4x4(means3d, settings.projmatrix)
+    p_w = 1.0 / (p_hom[..., 3] + 1e-7)
+    p_proj = p_hom[..., :3] * p_w[..., None]
+    mean2d = jnp.stack(
+        [ndc_to_pix(p_proj[..., 0], settings.image_width),
+         ndc_to_pix(p_proj[..., 1], settings.image_height)],
+        axis=-1,
+    )
+    if screen_offset is not None:
+        mean2d = mean2d + screen_offset
+
+    cov3d = build_cov3d(scales, rotations, settings.scale_modifier)
+    # guard z for culled points so the clamped-projection math stays finite
+    safe_view = jnp.where(in_front[..., None],
+                          p_view, jnp.asarray([0.0, 0.0, 1.0], p_view.dtype))
+    c2 = project_cov3d_to_2d(
+        safe_view, cov3d, settings.viewmatrix,
+        settings.focal_x, settings.focal_y, settings.tanfovx, settings.tanfovy)
+
+    radius = c2.radius
+    rect_min, rect_max = get_rect(mean2d, radius, settings.grid_x, settings.grid_y)
+    tiles = ((rect_max[..., 0] - rect_min[..., 0])
+             * (rect_max[..., 1] - rect_min[..., 1]))
+
+    visible = in_front & (c2.det != 0.0) & (tiles > 0)
+    radius = jnp.where(visible, radius, 0.0)
+    tiles_touched = jnp.where(visible, tiles, 0).astype(jnp.int32)
+
+    if colors_precomp is not None:
+        rgb = colors_precomp
+    elif shs is not None:
+        rgb, _ = sh_lib.eval_sh_color(settings.sh_degree, shs, means3d,
+                                      settings.campos)
+    else:
+        rgb = jnp.zeros(means3d.shape[:-1] + (3,), dtype=means3d.dtype)
+
+    return Preprocessed(
+        mean2d=mean2d,
+        depth=p_view[..., 2],
+        conic=c2.conic,
+        opacity=opacities,
+        rgb=rgb,
+        radii=radius,
+        rect_min=rect_min,
+        rect_max=rect_max,
+        tiles_touched=tiles_touched,
+        visible=visible,
+    )
+
+
+def mark_visible(means3d: jnp.ndarray, viewmatrix: jnp.ndarray,
+                 projmatrix: jnp.ndarray) -> jnp.ndarray:
+    """GaussianRasterizer.markVisible analog
+    (diff_gaussian_rasterization/__init__.py:199-208): frustum-only test."""
+    p_view = transform_point_4x3(means3d, viewmatrix)
+    return p_view[..., 2] > 0.2
