@@ -40,6 +40,7 @@ def rasterize(
     flow_points: Optional[jnp.ndarray] = None,
     semantic: Optional[jnp.ndarray] = None,
     screen_offset: Optional[jnp.ndarray] = None,
+    active_mask: Optional[jnp.ndarray] = None,
     backend: str = "xla",
     capacity: int = 1 << 18,
     max_per_tile: int = 2048,
@@ -50,7 +51,8 @@ def rasterize(
 
     prep = prep_lib.preprocess(
         means3d, scales, rotations, opacities, shs, settings,
-        colors_precomp=colors_precomp, screen_offset=screen_offset)
+        colors_precomp=colors_precomp, screen_offset=screen_offset,
+        active_mask=active_mask)
 
     if backend == "reference":
         return reference_lib.composite_reference(

@@ -53,6 +53,7 @@ def preprocess(
     settings: RasterSettings,
     colors_precomp: Optional[jnp.ndarray] = None,  # [N,3]
     screen_offset: Optional[jnp.ndarray] = None,   # [N,2] zeros; grad = dL/dmean2D
+    active_mask: Optional[jnp.ndarray] = None,     # [N] bool; False = padded slot
 ) -> Preprocessed:
     if opacities.ndim == 2:
         opacities = opacities[..., 0]
@@ -87,6 +88,8 @@ def preprocess(
              * (rect_max[..., 1] - rect_min[..., 1]))
 
     visible = in_front & (c2.det != 0.0) & (tiles > 0)
+    if active_mask is not None:
+        visible = visible & active_mask
     radius = jnp.where(visible, radius, 0.0)
     tiles_touched = jnp.where(visible, tiles, 0).astype(jnp.int32)
 
