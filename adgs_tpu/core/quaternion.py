@@ -20,10 +20,20 @@ import jax.numpy as jnp
 _EPS = 1e-8
 
 
+def _safe_norm(v: jnp.ndarray, axis=-1, keepdims=False) -> jnp.ndarray:
+    """||v|| with a finite gradient at v == 0 (grad 0 there, instead of the
+    NaN that sqrt(sum(v^2)) autodiff produces). Essential: capacity-padded
+    dead slots hold exact zeros and their cotangents must stay clean."""
+    sq = jnp.sum(v * v, axis=axis, keepdims=keepdims)
+    zero = sq == 0.0
+    safe = jnp.sqrt(jnp.where(zero, 1.0, sq))
+    return jnp.where(zero, 0.0, safe)
+
+
 def normalize(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     """Unit-normalize along the last axis (torch F.normalize semantics:
     division by max(||q||, eps))."""
-    n = jnp.linalg.norm(q, axis=-1, keepdims=True)
+    n = _safe_norm(q, axis=-1, keepdims=True)
     return q / jnp.maximum(n, eps)
 
 
@@ -75,7 +85,7 @@ def unit_to_rotvec(q: jnp.ndarray) -> jnp.ndarray:
     q = jnp.where(q[..., 0:1] < 0.0, -q, q)
     w = q[..., 0]
     v = q[..., 1:]
-    vn = jnp.linalg.norm(v, axis=-1)
+    vn = _safe_norm(v, axis=-1)
     angle = 2.0 * jnp.arctan2(vn, w)
     # sinc-guarded axis scale: angle / sin(angle/2) ~ 2 + angle^2/12 near 0
     half = 0.5 * angle
@@ -87,7 +97,7 @@ def unit_to_rotvec(q: jnp.ndarray) -> jnp.ndarray:
 def rotvec_to_unit(rv: jnp.ndarray) -> jnp.ndarray:
     """Rotation vector -> unit quaternion (roma.rotvec_to_unitquat analog,
     utils/func_utils.py:164), wxyz output."""
-    angle = jnp.linalg.norm(rv, axis=-1)
+    angle = _safe_norm(rv, axis=-1)
     half = 0.5 * angle
     small = angle < _EPS
     # sin(half)/angle with series guard: 1/2 - angle^2/48 near 0
@@ -100,10 +110,10 @@ def rotvec_to_unit(rv: jnp.ndarray) -> jnp.ndarray:
 def log(q: jnp.ndarray) -> jnp.ndarray:
     """General quaternion log (utils/general_utils.py:115-121 semantics):
     [log|q|, axis * arccos(w/|q|)] — arctan2-stabilized."""
-    qn = jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-5)
+    qn = jnp.maximum(_safe_norm(q, axis=-1, keepdims=True), 1e-5)
     w = q[..., 0:1]
     v = q[..., 1:]
-    vn = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    vn = _safe_norm(v, axis=-1, keepdims=True)
     axis = v / jnp.maximum(vn, 1e-12)
     angle = jnp.arctan2(vn, w)
     return jnp.concatenate([jnp.log(qn), axis * angle], axis=-1)
@@ -113,7 +123,7 @@ def exp(q: jnp.ndarray) -> jnp.ndarray:
     """General quaternion exp (utils/general_utils.py:123-129 semantics)."""
     s = q[..., 0:1]
     v = q[..., 1:]
-    vn = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    vn = _safe_norm(v, axis=-1, keepdims=True)
     small = vn < _EPS
     sinc = jnp.where(small, 1.0 - vn * vn / 6.0, jnp.sin(vn) / jnp.where(small, 1.0, vn))
     out = jnp.concatenate([jnp.cos(vn), sinc * v], axis=-1)

@@ -99,7 +99,9 @@ def eval_sh_color(deg: int, sh: jnp.ndarray, means: jnp.ndarray,
     Returns (clamped_rgb, pre_clamp_rgb); clamped = max(raw + 0.5 ... , 0).
     """
     d = means - campos
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    sq = jnp.sum(d * d, axis=-1, keepdims=True)
+    n = jnp.sqrt(jnp.where(sq == 0.0, 1.0, sq))  # NaN-grad-safe at d == 0
+    d = d / jnp.where(sq == 0.0, 1.0, n)
     raw = eval_sh(deg, sh, d) + 0.5
     return jnp.maximum(raw, 0.0), raw
 

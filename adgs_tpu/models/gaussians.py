@@ -115,6 +115,7 @@ class GaussianState:
     xyz_grad_accum: jnp.ndarray   # [Ns+No] float
     denom: jnp.ndarray            # [Ns+No] float
     obj_near_idx: jnp.ndarray     # [A,Knn] int32 KNN groups (reg losses)
+    obj_near_valid: jnp.ndarray   # [A] bool — False for padded anchor groups
 
     @property
     def alive(self) -> jnp.ndarray:
@@ -227,6 +228,7 @@ def create_from_pcd(
         xyz_grad_accum=jnp.zeros(Ns + No, dtype=jnp.float32),
         denom=jnp.zeros(Ns + No, dtype=jnp.float32),
         obj_near_idx=jnp.zeros((1, 1), dtype=jnp.int32),
+        obj_near_valid=jnp.zeros((1,), dtype=bool),
     )
     return params, state
 

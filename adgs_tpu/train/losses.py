@@ -1,0 +1,125 @@
+"""Loss assembly for one training frame.
+
+Parity with the loss block of train.py:77-115: L1 + D-SSIM photometric,
+scale-shift-aligned monocular depth, projected optical-flow, object-mask BCE,
+sky BCE on (1 - accumulated opacity), time-sigma prior, and the two
+KNN-variance regularizers. Loss weights come from OptimizationConfig
+(lambda_* of arguments/__init__.py:126-133); a zero lambda statically
+removes the term from the graph.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.gaussians import GaussianConfig, GaussianParams, GaussianState
+from ..ops import depth as depth_ops
+from ..ops import flow as flow_ops
+from ..ops import image as image_ops
+from .config import OptimizationConfig
+
+
+class FrameBatch(NamedTuple):
+    """Ground-truth supervision for one camera frame (loadCam contract,
+    utils/camera_utils.py:22-88). Missing channels are zero arrays; the
+    static lambda flags decide which terms exist."""
+
+    image: jnp.ndarray            # [3,H,W]
+    depth: jnp.ndarray            # [H,W] normalized inverse depth prior
+    sky: jnp.ndarray              # [H,W] 1 = sky
+    semantic: jnp.ndarray         # [H,W] >0 = object
+    flow: Optional[flow_ops.FlowPackage] = None
+    flow_valid: jnp.ndarray | None = None  # scalar bool
+
+
+def _bce(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """torch F.binary_cross_entropy after the caller's clip."""
+    return -jnp.mean(target * jnp.log(pred) + (1 - target) * jnp.log(1 - pred))
+
+
+def _group_variance_loss(values: jnp.ndarray, idx: jnp.ndarray,
+                         valid: jnp.ndarray) -> jnp.ndarray:
+    """mean over groups of sum(var over group members) — the KNN trajectory
+    regularizer (train.py:103-105, 111-114). torch.var is unbiased (ddof=1).
+
+    values: [No, ...]; idx: [A,K]; valid: [A]."""
+    g = values[idx]                                   # [A,K,...]
+    mean = jnp.mean(g, axis=1, keepdims=True)
+    k = idx.shape[1]
+    var = jnp.sum((g - mean) ** 2, axis=1) / jnp.maximum(k - 1, 1)  # [A,...]
+    summed = jnp.sum(var, axis=-1)                    # [A] or [A,D]
+    per_group = summed.reshape(summed.shape[0], -1).mean(axis=-1)   # [A]
+    w = valid.astype(values.dtype)
+    return jnp.sum(per_group * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def compute_losses(
+    render_pkg: dict,
+    batch: FrameBatch,
+    params: GaussianParams,
+    state: GaussianState,
+    config: GaussianConfig,
+    opt: OptimizationConfig,
+    frame_gap: float,
+    scene_extent: float,
+) -> tuple[jnp.ndarray, dict]:
+    image = render_pkg["render"]
+    logs = {}
+
+    l1 = jnp.mean(jnp.abs(image - batch.image))
+    dssim = 1.0 - image_ops.ssim(image, batch.image)
+    total = (1.0 - opt.lambda_dssim) * opt.lambda_l1 * l1 \
+        + opt.lambda_dssim * dssim
+    logs["l1_loss"] = l1
+    logs["dssim_loss"] = dssim
+
+    if opt.lambda_depth > 0.0:
+        d = depth_ops.depth_loss(render_pkg["depth"], batch.depth)
+        total = total + opt.lambda_depth * d
+        logs["depth_loss"] = d
+
+    if opt.lambda_flow > 0.0 and batch.flow is not None:
+        fl = flow_ops.flow_loss(render_pkg["img_flow"], batch.flow,
+                                render_pkg["img_opacity"],
+                                dist=scene_extent * 1e-3)
+        if batch.flow_valid is not None:
+            fl = jnp.where(batch.flow_valid, fl, 0.0)
+        total = total + opt.lambda_flow * fl
+        logs["flow_loss"] = fl
+
+    if opt.lambda_obj > 0.0:
+        pred = jnp.clip(render_pkg["img_semantic"][0], 1e-3, 1.0 - 1e-3)
+        ob = _bce(pred, (batch.semantic > 0).astype(jnp.float32))
+        total = total + opt.lambda_obj * ob
+        logs["obj_loss"] = ob
+
+    if opt.lambda_sky > 0.0:
+        pred = jnp.clip(render_pkg["img_opacity"], 1e-3, 1.0 - 1e-3)
+        sk = _bce(1.0 - pred, batch.sky)
+        total = total + opt.lambda_sky * sk
+        logs["sky_loss"] = sk
+
+    if opt.lambda_reg > 0.0:
+        rg = _group_variance_loss(params.xyz_deform, state.obj_near_idx,
+                                  state.obj_near_valid)
+        total = total + opt.lambda_reg * rg
+        logs["reg_loss"] = rg
+
+    if opt.lambda_sigma > 0.0:
+        sigma = jnp.exp(params.gs_time_sigma)
+        alive = state.obj_alive.astype(jnp.float32)
+        per = jnp.abs(frame_gap / jnp.mean(sigma, axis=-1))
+        sg = jnp.sum(per * alive) / jnp.maximum(jnp.sum(alive), 1.0)
+        total = total + opt.lambda_sigma * sg
+        logs["sigma_loss"] = sg
+        if opt.lambda_sigma_reg > 0.0:
+            sr = _group_variance_loss(params.gs_time_sigma, state.obj_near_idx,
+                                      state.obj_near_valid)
+            total = total + opt.lambda_sigma_reg * sr
+            logs["sigma_reg_loss"] = sr
+
+    logs["total_loss"] = total
+    return total, logs

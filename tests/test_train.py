@@ -1,0 +1,257 @@
+"""Training-layer tests: optimizer parity, losses, densification semantics,
+and tiny-scene convergence."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from adgs_tpu.models import gaussians as gm
+from adgs_tpu.models.env_map import EnvironmentMap, camera_rays
+from adgs_tpu.ops import knn
+from adgs_tpu.train import densify as densify_lib
+from adgs_tpu.train.config import OptimizationConfig
+from adgs_tpu.train.losses import FrameBatch
+from adgs_tpu.train.optim import (AdamState, TrainableState, adam_update,
+                                  expon_lr, init_adam, lr_tree)
+from adgs_tpu.train.step import make_train_step
+from adgs_tpu import render as render_lib
+from tests import scene_fixtures as fx
+from tests.test_models_ops import tiny_model
+
+
+class TestAdam:
+    def test_matches_torch_adam(self, rng):
+        import torch
+        x0 = rng.normal(size=(5, 3)).astype(np.float32)
+        tp = torch.tensor(x0, requires_grad=True)
+        topt = torch.optim.Adam([tp], lr=0.01, eps=1e-15)
+
+        p = jnp.asarray(x0)
+        m = jnp.zeros_like(p)
+        v = jnp.zeros_like(p)
+        from adgs_tpu.train import optim as optim_lib
+        count = jnp.int32(0)
+        for i in range(5):
+            # grad of 0.5*sum(p^2) = p
+            tloss = 0.5 * (tp ** 2).sum()
+            topt.zero_grad()
+            tloss.backward()
+            topt.step()
+
+            g = p
+            count = count + 1
+            c = count.astype(jnp.float32)
+            m = optim_lib.ADAM_B1 * m + (1 - optim_lib.ADAM_B1) * g
+            v = optim_lib.ADAM_B2 * v + (1 - optim_lib.ADAM_B2) * g * g
+            p = p - 0.01 * (m / (1 - optim_lib.ADAM_B1 ** c)) / (
+                jnp.sqrt(v / (1 - optim_lib.ADAM_B2 ** c)) + optim_lib.ADAM_EPS)
+        np.testing.assert_allclose(p, tp.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+    def test_expon_lr_matches_reference_helper(self):
+        # oracle: utils/general_utils.py:29-62
+        def helper(step, lr_init, lr_final, lr_delay_steps=0,
+                   lr_delay_mult=1.0, max_steps=1000000):
+            if step < 0 or (lr_init == 0.0 and lr_final == 0.0):
+                return 0.0
+            if lr_delay_steps > 0:
+                delay = lr_delay_mult + (1 - lr_delay_mult) * np.sin(
+                    0.5 * np.pi * np.clip(step / lr_delay_steps, 0, 1))
+            else:
+                delay = 1.0
+            t = np.clip(step / max_steps, 0, 1)
+            return delay * np.exp(np.log(lr_init) * (1 - t)
+                                  + np.log(lr_final) * t)
+
+        for step in [0, 100, 30000, 60000, 90000]:
+            got = float(expon_lr(jnp.float32(step), 0.00016, 0.0000016,
+                                 lr_delay_mult=0.01, max_steps=60000))
+            want = helper(step, 0.00016, 0.0000016, lr_delay_mult=0.01,
+                          max_steps=60000)
+            np.testing.assert_allclose(got, want, rtol=1e-4)
+        assert float(expon_lr(jnp.float32(5), 0.0, 0.0)) == 0.0
+
+    def test_lr_tree_groups(self):
+        opt = OptimizationConfig()
+        lrs = lr_tree(opt, scene_extent=100.0, cameras_extent=20.0,
+                      step=jnp.float32(0))
+        g = lrs.gaussians
+        np.testing.assert_allclose(float(g.scene_shs_dc), opt.feature_lr)
+        np.testing.assert_allclose(float(g.scene_shs_rest), opt.feature_lr / 20)
+        np.testing.assert_allclose(float(g.scene_xyz),
+                                   opt.position_lr_init * 20.0, rtol=1e-5)
+        np.testing.assert_allclose(float(g.obj_xyz),
+                                   opt.position_lr_init * 10.0 * 0.8, rtol=1e-5)
+        np.testing.assert_allclose(float(g.xyz_deform),
+                                   opt.position_lr_init * 100.0 * 0.2, rtol=1e-5)
+        np.testing.assert_allclose(float(lrs.env.grid), opt.env_lr)
+
+
+class TestDensify:
+    def _setup(self, rng, quantum=64):
+        params, state, cfg, raw = tiny_model(rng, n=40, quantum=quantum)
+        trainables = TrainableState(gaussians=params,
+                                    env=EnvironmentMap.create(16))
+        opt_state = init_adam(trainables)
+        return trainables, opt_state, state, cfg
+
+    def test_clone_small_high_grad(self, rng):
+        trainables, opt_state, state, cfg = self._setup(rng)
+        Ns = trainables.gaussians.scene_capacity
+        ns = int(state.num_scene)
+        no = int(state.num_obj)
+        # force: all alive scene have high grad; tiny scales -> clone path
+        accum = np.zeros(state.xyz_grad_accum.shape[0], np.float32)
+        accum[:ns] = 1.0
+        state = dataclasses.replace(
+            state,
+            xyz_grad_accum=jnp.asarray(accum),
+            denom=jnp.ones_like(state.denom))
+        t2, o2, s2, rep = densify_lib.densify_and_prune(
+            trainables, opt_state, state, jax.random.PRNGKey(0),
+            max_scene_grad=0.5, max_obj_grad=1e9, min_opacity=0.005,
+            prune_big=jnp.asarray(False), scene_extent=1000.0,
+            object_extent=1000.0, percent_dense=0.01)
+        # scales are tiny vs extent 1000 -> all clones, no splits
+        assert int(rep.scene_cloned) == ns
+        assert int(rep.scene_split) == 0
+        assert int(rep.obj_cloned) == 0
+        assert int(s2.num_scene) == 2 * ns
+        assert int(s2.num_obj) == no
+        # cloned params identical to sources (set semantics)
+        g = t2.gaussians
+        src = np.asarray(trainables.gaussians.scene_xyz[:ns])
+        new = np.asarray(g.scene_xyz)[np.asarray(s2.scene_alive)]
+        # every src position appears exactly twice
+        cat = np.concatenate([src, src], axis=0)
+        np.testing.assert_allclose(np.sort(new, axis=0), np.sort(cat, axis=0),
+                                   atol=1e-6)
+        # stats reset
+        assert float(jnp.sum(s2.xyz_grad_accum)) == 0.0
+
+    def test_split_big_high_grad_prunes_source(self, rng):
+        trainables, opt_state, state, cfg = self._setup(rng)
+        ns = int(state.num_scene)
+        accum = np.zeros(state.xyz_grad_accum.shape[0], np.float32)
+        accum[:1] = 1.0  # only slot 0
+        state = dataclasses.replace(
+            state, xyz_grad_accum=jnp.asarray(accum),
+            denom=jnp.ones_like(state.denom))
+        t2, o2, s2, rep = densify_lib.densify_and_prune(
+            trainables, opt_state, state, jax.random.PRNGKey(1),
+            max_scene_grad=0.5, max_obj_grad=1e9, min_opacity=0.005,
+            prune_big=jnp.asarray(False), scene_extent=1e-6,  # everything "big"
+            object_extent=1000.0, percent_dense=0.01)
+        assert int(rep.scene_split) == 2
+        assert int(rep.scene_cloned) == 0
+        # source pruned, 2 new -> net +1
+        assert int(s2.num_scene) == ns + 1
+        # new scaling = old/1.6
+        g = t2.gaussians
+        old_scale = np.exp(np.asarray(trainables.gaussians.scene_scaling[0]))
+        alive_now = np.asarray(s2.scene_alive)
+        alive_before = np.asarray(state.scene_alive)
+        new_slots = alive_now & ~alive_before
+        new_scales = np.exp(np.asarray(g.scene_scaling))[new_slots]
+        np.testing.assert_allclose(
+            new_scales, np.broadcast_to(old_scale / 1.6, new_scales.shape),
+            rtol=1e-5)
+
+    def test_opacity_prune(self, rng):
+        trainables, opt_state, state, cfg = self._setup(rng)
+        ns = int(state.num_scene)
+        g = trainables.gaussians
+        # kill opacity of first 3 scene gaussians
+        op = np.array(g.scene_opacity)
+        op[:3] = -20.0
+        trainables = trainables._replace(gaussians=dataclasses.replace(
+            g, scene_opacity=jnp.asarray(op)))
+        t2, o2, s2, rep = densify_lib.densify_and_prune(
+            trainables, opt_state, state, jax.random.PRNGKey(2),
+            max_scene_grad=1e9, max_obj_grad=1e9, min_opacity=0.005,
+            prune_big=jnp.asarray(False), scene_extent=1000.0,
+            object_extent=1000.0, percent_dense=0.01)
+        assert int(rep.scene_pruned) == 3
+        assert int(s2.num_scene) == ns - 3
+
+    def test_reset_opacity(self, rng):
+        trainables, opt_state, state, cfg = self._setup(rng)
+        t2, o2 = densify_lib.reset_opacity(trainables, opt_state)
+        act = jax.nn.sigmoid(np.asarray(t2.gaussians.scene_opacity))
+        assert np.all(act <= 0.01 + 1e-6)
+        assert float(jnp.sum(jnp.abs(o2.m.gaussians.scene_opacity))) == 0.0
+
+    def test_grow_capacity(self, rng):
+        trainables, opt_state, state, cfg = self._setup(rng)
+        Ns = trainables.gaussians.scene_capacity
+        No = trainables.gaussians.obj_capacity
+        t2, o2, s2 = densify_lib.grow_capacity(trainables, opt_state, state,
+                                               Ns + 64, No + 64)
+        assert t2.gaussians.scene_capacity == Ns + 64
+        assert int(s2.num_scene) == int(state.num_scene)
+        # render still works after growth
+        cam = fx.make_camera(width=32, height=32)
+        out = render_lib.render(cam, t2.gaussians, s2, cfg,
+                                capacity=1 << 12, max_per_tile=128)
+        assert np.all(np.isfinite(np.asarray(out["render"])))
+
+
+class TestTrainStep:
+    def test_loss_decreases_and_psnr_rises(self, rng):
+        from adgs_tpu.ops.image import psnr
+        params, state, cfg, raw = tiny_model(rng, n=120, quantum=128)
+        params = gm.set_init_time_sigma(params, 0.05)
+        cam = fx.make_camera(width=48, height=32, time=0.3)
+        env = EnvironmentMap.create(resolution=32)
+        rays = jnp.asarray(camera_rays(cam.focal_x, cam.height, cam.width),
+                           dtype=jnp.float32)
+
+        # ground truth: a smooth color gradient image
+        yy, xx = np.mgrid[0:32, 0:48]
+        gt = np.stack([xx / 48.0, yy / 32.0, 0.5 * np.ones_like(xx)], 0)
+        batch = FrameBatch(
+            image=jnp.asarray(gt, dtype=jnp.float32),
+            depth=jnp.zeros((32, 48), jnp.float32),
+            sky=jnp.zeros((32, 48), jnp.float32),
+            semantic=jnp.zeros((32, 48), jnp.float32),
+        )
+        # photometric-only losses for convergence smoke
+        opt = OptimizationConfig(
+            lambda_depth=0.0, lambda_flow=0.0, lambda_obj=0.0,
+            lambda_sky=0.05, lambda_sigma=0.01, lambda_reg=0.0,
+            lambda_sigma_reg=0.0)
+
+        # KNN refresh for near_idx (not used here but exercise the path)
+        no = int(state.num_obj)
+        pts = np.asarray(params.obj_xyz[:no])
+        anchors = pts[:: max(1, no // 8)][:8]
+        idx = knn.knn_indices(anchors, pts, k=4)
+        state = dataclasses.replace(
+            state,
+            obj_near_idx=jnp.asarray(idx),
+            obj_near_valid=jnp.ones(idx.shape[0], dtype=bool))
+
+        step = make_train_step(cfg, opt, frame_gap=0.05, scene_extent=10.0,
+                               cameras_extent=10.0, capacity=1 << 13,
+                               max_per_tile=256)
+        opt_state = init_adam(TrainableState(gaussians=params, env=env))
+
+        losses = []
+        psnrs = []
+        for it in range(1, 41):
+            params, env, opt_state, state, logs = step(
+                params, env, opt_state, state, cam, batch, rays,
+                jnp.float32(it), active_sh_degree=0)
+            losses.append(float(logs["total_loss"]))
+            if it in (1, 40):
+                out = render_lib.render(cam, params, state, cfg, env_map=env,
+                                        cam_rays=rays, active_sh_degree=0,
+                                        capacity=1 << 13, max_per_tile=256)
+                psnrs.append(float(psnr(jnp.clip(out["render"], 0, 1),
+                                        batch.image)))
+        assert losses[-1] < losses[0] * 0.8, losses
+        assert psnrs[1] > psnrs[0] + 1.0, psnrs
+        # densification stats accumulated
+        assert float(jnp.sum(state.denom)) > 0
