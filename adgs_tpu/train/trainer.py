@@ -1,0 +1,307 @@
+"""Host-side training orchestration.
+
+The counterpart of training() in train.py:32-167: camera-stack sampling,
+flow-package selection, SH degree warmup, densification scheduling, opacity
+resets, KNN refresh for the regularizers, logging, checkpoints — around the
+jitted step of train/step.py (or the sharded variant).
+
+TPU-specific additions: capacity growth with recompile when densification
+runs out of dead slots, full-state snapshots for true resume, and JSONL
+metrics (plus TensorBoard when torch is importable).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import random
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import gaussians as gm
+from ..models.env_map import EnvironmentMap, camera_rays
+from ..ops import knn
+from ..ops.image import psnr
+from ..data.readers import SceneData
+from ..data.frames import load_frame, flow_package
+from .. import render as render_lib
+from .config import OptimizationConfig
+from .losses import FrameBatch
+from .optim import AdamState, TrainableState, init_adam
+from .step import make_train_step
+from . import checkpoint as ckpt_lib
+from . import densify as densify_lib
+
+
+class MetricsLogger:
+    """JSONL scalars + optional TensorBoard (train.py:183-189 analog)."""
+
+    def __init__(self, model_path: str, use_tensorboard: bool = True):
+        os.makedirs(model_path, exist_ok=True)
+        self.f = open(os.path.join(model_path, "metrics.jsonl"), "a")
+        self.tb = None
+        if use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self.tb = SummaryWriter(model_path)
+            except Exception:
+                self.tb = None
+
+    def scalars(self, step: int, values: dict, prefix: str = "train"):
+        rec = {"step": step}
+        rec.update({k: float(v) for k, v in values.items()})
+        self.f.write(json.dumps(rec) + "\n")
+        if self.tb is not None:
+            for k, v in values.items():
+                self.tb.add_scalar(f"{prefix}/{k}", float(v), step)
+
+    def flush(self):
+        self.f.flush()
+        if self.tb is not None:
+            self.tb.flush()
+
+
+class Trainer:
+    def __init__(self, scene: SceneData, opt: OptimizationConfig,
+                 model_path: str,
+                 order_args: Optional[dict] = None,
+                 sh_degree: int = 3,
+                 env_resolution: int = 8192,
+                 resolution: int = 1,
+                 default_order_downsample_ratio: int = 3,
+                 backend: str = "xla",
+                 capacity: int = 1 << 18,
+                 max_per_tile: int = 2048,
+                 chunk: int = 32,
+                 inv_depth: bool = True,
+                 seed: int = 0,
+                 capacity_quantum: int = 4096):
+        self.scene = scene
+        self.opt = opt
+        self.model_path = model_path
+        self.backend = backend
+        self.capacity = capacity
+        self.max_per_tile = max_per_tile
+        self.chunk = chunk
+        self.inv_depth = inv_depth
+        self.resolution = resolution
+        self.capacity_quantum = capacity_quantum
+        self.rng = random.Random(seed)
+        self.key = jax.random.PRNGKey(seed)
+
+        if order_args is None:
+            order_args = dict(xyz=[None, 5, 0, 6, 0, 0],
+                              rotation=[0, 0, 0, 0, None, 5],
+                              shs=[0, 0, 0, 6, 0, 0],
+                              background=[0, 0, 0, 0, 0, 0])
+        frame_num = int(round(1.0 / scene.frame_gap))
+        self.config = gm.GaussianConfig.from_order_args(
+            order_args, frame_num, default_order_downsample_ratio,
+            sh_degree=sh_degree, use_time_mask=opt.lambda_sigma > 0.0)
+
+        d2 = knn.mean_knn_sq_dist(scene.points)
+        params, state = gm.create_from_pcd(
+            scene.points, scene.colors, scene.obj_id, scene.times,
+            self.config, d2, capacity_quantum=capacity_quantum, seed=seed)
+        params = gm.set_init_time_sigma(params, scene.frame_gap)
+        self.env = EnvironmentMap.create(env_resolution, seed=seed)
+        self.params, self.state = params, state
+        self.opt_state = init_adam(TrainableState(self.params, self.env))
+
+        self.use_near_idx = (opt.lambda_reg > 0.0
+                             or (opt.lambda_sigma > 0.0
+                                 and opt.lambda_sigma_reg > 0.0))
+        self.cameras_extent = max(scene.cameras_extent, opt.min_camera_extent)
+        self.logger = MetricsLogger(model_path)
+        self._step_fn = None
+        self._ray_cache: dict = {}
+        self.active_sh_degree = 0
+        self.iteration = 0
+
+        # preload device-side frames lazily
+        self._frame_cache: dict = {}
+
+    # ------------------------------------------------------------------
+    def _get_frame(self, split: str, idx: int):
+        keyed = (split, idx)
+        if keyed not in self._frame_cache:
+            frames = (self.scene.train_frames if split == "train"
+                      else self.scene.test_frames)
+            self._frame_cache[keyed] = load_frame(frames[idx], self.resolution)
+        return self._frame_cache[keyed]
+
+    def _rays_for(self, cam, cam_id: int):
+        if cam_id not in self._ray_cache:
+            self._ray_cache[cam_id] = jnp.asarray(
+                camera_rays(cam.focal_x, cam.height, cam.width),
+                dtype=jnp.float32)
+        return self._ray_cache[cam_id]
+
+    def _build_step(self):
+        self._step_fn = make_train_step(
+            self.config, self.opt, self.scene.frame_gap,
+            self.scene.scene_extent, self.scene.cameras_extent,
+            backend=self.backend, capacity=self.capacity,
+            max_per_tile=self.max_per_tile, chunk=self.chunk,
+            inv_depth=self.inv_depth)
+
+    def refresh_near_idx(self):
+        """set_obj_near_idx (gaussian_model.py:825-833): random anchors,
+        KNN in xyz (+ time * scene_extent when time-masked)."""
+        if not self.use_near_idx:
+            return
+        K = self.opt.near_num
+        oa = np.asarray(self.state.obj_alive)
+        idx_alive = np.nonzero(oa)[0]
+        if len(idx_alive) < K:
+            return
+        pts = np.asarray(self.params.obj_xyz)[idx_alive]
+        if self.config.use_time_mask:
+            t = np.asarray(self.state.gs_time)[idx_alive]
+            pts = np.concatenate(
+                [pts, t[:, None] * self.scene.scene_extent], axis=1)
+        n_anchor = max(1, len(idx_alive) // K)
+        perm = np.random.permutation(len(idx_alive))[:n_anchor]
+        nn = knn.knn_indices(pts[perm], pts, k=K)
+        # map back to padded slot indices; pad anchors to a stable shape
+        idx = idx_alive[nn].astype(np.int32)
+        a_cap = max(1, self.params.obj_capacity // K)
+        out = np.zeros((a_cap, K), np.int32)
+        valid = np.zeros(a_cap, bool)
+        n = min(a_cap, idx.shape[0])
+        out[:n] = idx[:n]
+        valid[:n] = True
+        self.state = dataclasses.replace(
+            self.state, obj_near_idx=jnp.asarray(out),
+            obj_near_valid=jnp.asarray(valid))
+
+    def _maybe_grow_capacity(self):
+        ns = int(self.state.num_scene)
+        no = int(self.state.num_obj)
+        Ns = self.params.scene_capacity
+        No = self.params.obj_capacity
+        grow_s = Ns if ns > 0.9 * Ns else 0
+        grow_o = No if no > 0.9 * No else 0
+        if grow_s or grow_o:
+            t, self.opt_state, self.state = densify_lib.grow_capacity(
+                TrainableState(self.params, self.env), self.opt_state,
+                self.state, Ns + grow_s, No + grow_o)
+            self.params, self.env = t.gaussians, t.env
+            print(f"[capacity] grew to scene={Ns + grow_s} obj={No + grow_o}")
+
+    # ------------------------------------------------------------------
+    def train(self, iterations: Optional[int] = None,
+              save_iterations: Optional[list] = None,
+              test_iterations: Optional[list] = None,
+              log_every: int = 10):
+        opt = self.opt
+        iterations = iterations or opt.iterations
+        save_iterations = set(save_iterations or [iterations])
+        test_iterations = set(test_iterations or [iterations])
+        if self._step_fn is None:
+            self._build_step()
+        self.refresh_near_idx()
+
+        stack: list = []
+        ema = 0.0
+        t_start = time.time()
+        for it in range(self.iteration + 1, iterations + 1):
+            self.iteration = it
+            if it % 1000 == 0 and self.active_sh_degree < self.config.sh_degree:
+                self.active_sh_degree += 1
+
+            if not stack:
+                stack = list(range(len(self.scene.train_frames)))
+                if opt.data_sample == "stack":
+                    self.rng.shuffle(stack)
+            fidx = stack.pop(0 if opt.data_sample == "order"
+                             else self.rng.randrange(len(stack)))
+            cam, batch, flow_list = self._get_frame("train", fidx)
+            rays = self._rays_for(cam, self.scene.train_frames[fidx].cam_id)
+
+            if opt.lambda_flow > 0.0 and flow_list:
+                raw = flow_list[self.rng.randrange(len(flow_list))]
+                batch = batch._replace(flow=flow_package(raw),
+                                       flow_valid=jnp.asarray(True))
+
+            (self.params, self.env, self.opt_state, self.state,
+             logs) = self._step_fn(
+                self.params, self.env, self.opt_state, self.state, cam,
+                batch, rays, jnp.float32(it),
+                active_sh_degree=self.active_sh_degree)
+
+            loss = float(logs["total_loss"])
+            ema = 0.4 * loss + 0.6 * ema if it > 1 else loss
+            if it % log_every == 0:
+                self.logger.scalars(it, logs)
+            if it % 200 == 0:
+                n = int(self.state.num_scene) + int(self.state.num_obj)
+                print(f"[{it}/{iterations}] loss={ema:.5f} pts={n} "
+                      f"({(time.time() - t_start):.0f}s)")
+
+            # densification (train.py:148-160)
+            if it < opt.densify_until_iter:
+                if (it > opt.densify_from_iter
+                        and it % opt.densification_interval == 0):
+                    self.key, sub = jax.random.split(self.key)
+                    t, self.opt_state, self.state, rep = \
+                        densify_lib.densify_and_prune(
+                            TrainableState(self.params, self.env),
+                            self.opt_state, self.state, sub,
+                            opt.densify_scene_grad_threshold,
+                            opt.densify_obj_grad_threshold,
+                            opt.min_opacity,
+                            jnp.asarray(it > opt.opacity_reset_interval),
+                            self.scene.scene_extent, opt.object_extent,
+                            opt.percent_dense)
+                    self.params, self.env = t.gaussians, t.env
+                    self._maybe_grow_capacity()
+                    self.refresh_near_idx()
+                elif (self.use_near_idx
+                      and it % opt.near_idx_reset_interval == 0):
+                    self.refresh_near_idx()
+                if it % opt.opacity_reset_interval == 0:
+                    t, self.opt_state = densify_lib.reset_opacity(
+                        TrainableState(self.params, self.env), self.opt_state)
+                    self.params, self.env = t.gaussians, t.env
+
+            if it in test_iterations:
+                self.evaluate(it)
+            if it in save_iterations:
+                self.save(it)
+        self.logger.flush()
+
+    # ------------------------------------------------------------------
+    def evaluate(self, it: int, max_frames: int = 10):
+        vals = []
+        for i in range(min(max_frames, len(self.scene.test_frames))):
+            cam, batch, _ = self._get_frame("test", i)
+            rays = self._rays_for(cam, self.scene.test_frames[i].cam_id)
+            out = render_lib.render(
+                cam, self.params, self.state, self.config, env_map=self.env,
+                cam_rays=rays, active_sh_degree=self.active_sh_degree,
+                inv_depth=self.inv_depth, backend=self.backend,
+                capacity=self.capacity, max_per_tile=self.max_per_tile,
+                chunk=self.chunk)
+            vals.append(float(psnr(jnp.clip(out["render"], 0, 1),
+                                   batch.image)))
+        if vals:
+            print(f"[ITER {it}] test PSNR {np.mean(vals):.2f}")
+            self.logger.scalars(it, {"psnr": np.mean(vals)}, prefix="test")
+
+    def save(self, it: int):
+        base = os.path.join(self.model_path, "point_cloud",
+                            f"iteration_{it}")
+        ckpt_lib.save_ply(os.path.join(base, "point_cloud.ply"),
+                          self.params, self.state, self.config)
+        np.save(os.path.join(base, "env.npy"), np.asarray(self.env.grid))
+        ckpt_lib.save_state(
+            os.path.join(base, "train_state.npz"),
+            TrainableState(self.params, self.env), self.opt_state,
+            self.state, it)
+        print(f"[ITER {it}] saved to {base}")

@@ -1,0 +1,107 @@
+"""Benchmark: fwd+bwd rasterization throughput (pixels/s/chip).
+
+Protocol (BASELINE.md north star): differentiable render of a KITTI-shaped
+frame (1242x375) from ~1M Gaussians, full gradient w.r.t. all Gaussian
+parameters, steady-state over repeated steps on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against an A100 fwd+bwd reference throughput of
+7.1e7 pixels/s (typical diff-gaussian-rasterization training-iteration
+rate at ~1M splats on A100: ~150 fwd+bwd renders/s at 0.47 MPix — the
+reference repo publishes no numbers, BASELINE.md, so this is the working
+constant; >1.0 means faster than that baseline).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+A100_BASELINE_PIX_S = 7.1e7
+
+N_GAUSS = int(os.environ.get("BENCH_N_GAUSS", 1_000_000))
+WIDTH = int(os.environ.get("BENCH_WIDTH", 1242))
+HEIGHT = int(os.environ.get("BENCH_HEIGHT", 375))
+ITERS = int(os.environ.get("BENCH_ITERS", 10))
+BACKEND = os.environ.get("BENCH_BACKEND", "xla")
+CAPACITY = int(os.environ.get("BENCH_CAPACITY", 1 << 22))
+MAX_PER_TILE = int(os.environ.get("BENCH_MAX_PER_TILE", 4096))
+CHUNK = int(os.environ.get("BENCH_CHUNK", 64))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from adgs_tpu.core.camera import Camera
+    from adgs_tpu.raster.api import rasterize
+    from adgs_tpu.render import settings_for_camera
+
+    rng = np.random.default_rng(0)
+    # Gaussian cloud filling the frustum, scales sized for a driving scene
+    pts = np.zeros((N_GAUSS, 3), dtype=np.float32)
+    pts[:, 2] = rng.uniform(2.0, 80.0, N_GAUSS)
+    fovx, fovy = 1.2, 0.42
+    pts[:, 0] = rng.uniform(-0.75, 0.75, N_GAUSS) * pts[:, 2] * np.tan(fovx / 2) * 2
+    pts[:, 1] = rng.uniform(-0.75, 0.75, N_GAUSS) * pts[:, 2] * np.tan(fovy / 2) * 2
+    K = 16
+    shs = np.zeros((N_GAUSS, K, 3), dtype=np.float32)
+    shs[:, 0] = rng.uniform(-1, 1, (N_GAUSS, 3))
+    shs[:, 1:] = rng.normal(size=(N_GAUSS, K - 1, 3)) * 0.05
+    scales = np.exp(rng.normal(size=(N_GAUSS, 3)) * 0.4 - 3.2) * pts[:, 2:3] * 0.05
+    quats = rng.normal(size=(N_GAUSS, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    opac = rng.uniform(0.2, 0.9, N_GAUSS).astype(np.float32)
+
+    cam = Camera.create(R=np.eye(3), T=np.zeros(3), fovx=fovx, fovy=fovy,
+                        width=WIDTH, height=HEIGHT)
+    settings = settings_for_camera(cam, sh_degree=3)
+
+    params = dict(
+        means3d=jnp.asarray(pts),
+        shs=jnp.asarray(shs),
+        scales=jnp.asarray(scales, dtype=jnp.float32),
+        rotations=jnp.asarray(quats),
+        opacities=jnp.asarray(opac),
+    )
+    target = jnp.asarray(rng.uniform(size=(3, HEIGHT, WIDTH)),
+                         dtype=jnp.float32)
+
+    def loss_fn(p):
+        out = rasterize(means3d=p["means3d"], opacities=p["opacities"],
+                        scales=p["scales"], rotations=p["rotations"],
+                        settings=settings, shs=p["shs"], backend=BACKEND,
+                        capacity=CAPACITY, max_per_tile=MAX_PER_TILE,
+                        chunk=CHUNK)
+        return jnp.mean(jnp.abs(out.color - target)) + 0.1 * jnp.mean(out.depth)
+
+    step = jax.jit(jax.value_and_grad(loss_fn))
+
+    # warmup / compile
+    loss, grads = step(params)
+    jax.block_until_ready((loss, grads))
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        loss, grads = step(params)
+    jax.block_until_ready((loss, grads))
+    dt = time.perf_counter() - t0
+
+    pix_per_s = WIDTH * HEIGHT * ITERS / dt
+    result = {
+        "metric": "fwd_bwd_pixels_per_sec_per_chip",
+        "value": round(pix_per_s, 1),
+        "unit": "pixels/s",
+        "vs_baseline": round(pix_per_s / A100_BASELINE_PIX_S, 4),
+    }
+    print(json.dumps(result))
+    print(f"# {N_GAUSS} gaussians, {WIDTH}x{HEIGHT}, {ITERS} iters in "
+          f"{dt:.3f}s ({ITERS/dt:.2f} it/s), backend={BACKEND}, "
+          f"loss={float(loss):.5f}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

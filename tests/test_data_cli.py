@@ -1,0 +1,142 @@
+"""Data-layer + CLI end-to-end tests on a synthetic KITTI-format scene."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from adgs_tpu.data import ply as ply_lib
+from adgs_tpu.data.readers import read_scene, voxel_downsample
+from adgs_tpu.data.frames import load_frame
+
+
+def make_kitti_scene(root, n_frames=6, num_cam=2, width=96, height=64,
+                     n_pts=300, seed=0):
+    """Write a synthetic scene following the KITTI npz+PLY contract
+    (scripts/kitti/kitti.py output / dataset_readers.py:142-259)."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(root, exist_ok=True)
+    for d in ["image", "depth", "semantic", "sky", "flow/nvs-75"]:
+        os.makedirs(os.path.join(root, d), exist_ok=True)
+
+    total = n_frames * num_cam
+    time_stamp = np.repeat(np.arange(n_frames), num_cam).astype(np.float64)
+    R = np.tile(np.eye(4), (total, 1, 1))
+    T = np.zeros((total, 4))
+    T[:, 2] = 4.0
+    T[:, 0] = 0.1 * (np.arange(total) % num_cam)
+    focal = 80.0
+    np.savez(os.path.join(root, "poses.npz"), time_stamp=time_stamp,
+             R=R, T=T, height=height, width=width, focal=focal)
+
+    for i in range(total):
+        name = f"{i:06d}"
+        img = (rng.uniform(size=(height, width, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(os.path.join(root, "image", name + ".png"))
+        np.save(os.path.join(root, "depth", name + ".npy"),
+                rng.uniform(0.1, 1.0, (height, width, 1)).astype(np.float32))
+        np.save(os.path.join(root, "semantic", "mask_" + name + ".npy"),
+                (rng.random((height, width)) < 0.2).astype(np.int32))
+        np.save(os.path.join(root, "sky", "mask_" + name + ".npy"),
+                (rng.random((height, width)) < 0.3).astype(np.uint8))
+        # flow package: [time, K, R, T, flow(2HW), vis(HW)]
+        K = np.array([[focal, 0, width / 2], [0, focal, height / 2],
+                      [0, 0, 1.0]])
+        pkg = [np.float64(time_stamp[i]), K, np.eye(3), np.array([0, 0, 4.0]),
+               rng.uniform(0, width - 1, (2, height, width)),
+               (rng.random((height, width)) > 0.5).astype(np.float32)]
+        np.savez(os.path.join(root, "flow", "nvs-75", name + ".npz"),
+                 flow=np.asarray([pkg], dtype=object))
+
+    pts = rng.normal(size=(n_pts, 3)).astype(np.float32)
+    cols = (rng.uniform(size=(n_pts, 3)) * 255).astype(np.float32)
+    obj = (rng.random(n_pts) < 0.4).astype(np.float32)
+    tms = rng.uniform(0, n_frames - 1, n_pts).astype(np.float32)
+    ply_lib.store_point_cloud(os.path.join(root, "points3d-75.ply"), pts,
+                              cols, tms, obj)
+    ply_lib.store_point_cloud(os.path.join(root, "colmap-75.ply"),
+                              pts[:50], cols[:50])
+    return root
+
+
+class TestPlyIO:
+    def test_roundtrip(self, tmp_path, rng):
+        pts = rng.normal(size=(20, 3)).astype(np.float32)
+        cols = (rng.uniform(size=(20, 3)) * 255).astype(np.float32)
+        t = rng.uniform(size=20).astype(np.float32)
+        obj = (rng.random(20) < 0.5).astype(np.float32)
+        p = str(tmp_path / "x.ply")
+        ply_lib.store_point_cloud(p, pts, cols, t, obj)
+        p2, c2, t2, o2 = ply_lib.fetch_point_cloud(p)
+        np.testing.assert_allclose(p2, pts, rtol=1e-6)
+        np.testing.assert_allclose(c2 * 255, cols, atol=1.0)
+        np.testing.assert_allclose(t2, t, rtol=1e-6)
+        np.testing.assert_array_equal(o2, obj)
+
+    def test_voxel_downsample(self):
+        pts = np.array([[0.0, 0, 0], [0.01, 0, 0], [5.0, 5, 5]])
+        cols = np.array([[1.0, 0, 0], [0.0, 1, 0], [0, 0, 1.0]])
+        p, c = voxel_downsample(pts, cols, 0.5)
+        assert len(p) == 2
+        i = np.argmin(p[:, 0])
+        np.testing.assert_allclose(p[i], [0.005, 0, 0], atol=1e-6)
+        np.testing.assert_allclose(c[i], [0.5, 0.5, 0], atol=1e-6)
+
+
+class TestReader:
+    def test_kitti_contract(self, tmp_path):
+        root = make_kitti_scene(str(tmp_path / "scene"))
+        scene = read_scene(root, use_colmap=True, split_mode="nvs-75")
+        # 6 frames, test every 4th -> i_test = {4} -> 2 test cams
+        assert len(scene.test_frames) == 2
+        assert len(scene.train_frames) == 10
+        assert scene.frame_gap == pytest.approx(2 / 12)
+        assert 0.0 <= min(f.time for f in scene.train_frames)
+        assert max(f.time for f in scene.train_frames) <= 1.0
+        # colmap points appended as static
+        assert (scene.obj_id > 0.5).sum() > 0
+        fr = scene.train_frames[0]
+        assert fr.depth is not None and fr.sky is not None
+        assert fr.flow is not None and len(fr.flow) == 1
+        assert 0.0 <= fr.flow[0][0] <= 1.0  # time rescaled
+
+        cam, batch, flow = load_frame(fr, resolution=1)
+        assert batch.image.shape == (3, 64, 96)
+        assert batch.depth.shape == (64, 96)
+        assert set(np.unique(np.asarray(batch.sky))) <= {0.0, 1.0}
+
+
+class TestCLI:
+    def test_train_and_render_cli(self, tmp_path):
+        from adgs_tpu.cli import train as train_cli
+        from adgs_tpu.cli import render as render_cli
+        root = make_kitti_scene(str(tmp_path / "scene"), width=64, height=48)
+        out = str(tmp_path / "out")
+        cfg = tmp_path / "cfg.py"
+        cfg.write_text(
+            "iterations = 12\n"
+            "env_resolution = 32\n"
+            "capacity = 8192\n"
+            "max_per_tile = 128\n"
+            "lambda_flow = 0.1\n"
+            "lambda_reg = 0.0\n"
+            "lambda_sigma_reg = 0.0\n"
+            "densification_interval = 6\n"
+            "near_idx_reset_interval = 5\n"
+            "order_args = dict(xyz=[4,2,0,2,0,0], rotation=[0,0,0,0,4,2],"
+            " shs=[0,0,0,2,0,0], background=[0,0,0,0,0,0])\n")
+        train_cli.main(["-s", root, "-m", out, "-c", str(cfg),
+                        "--capacity_quantum"] if False else
+                       ["-s", root, "-m", out, "-c", str(cfg)])
+        base = os.path.join(out, "point_cloud", "iteration_12")
+        assert os.path.exists(os.path.join(base, "point_cloud.ply"))
+        assert os.path.exists(os.path.join(base, "deform.npz"))
+        assert os.path.exists(os.path.join(base, "train_state.npz"))
+        assert os.path.exists(os.path.join(out, "metrics.jsonl"))
+
+        render_cli.main(["-m", out, "--skip_train"])
+        assert os.path.exists(os.path.join(out, "results.json"))
+        res = json.load(open(os.path.join(out, "results.json")))
+        assert "PSNR" in res["ours_12"]

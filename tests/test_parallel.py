@@ -1,0 +1,105 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: sharded render
+parity vs single-device, and sharded train-step execution + grad parity."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from adgs_tpu.models import gaussians as gm
+from adgs_tpu.models.env_map import EnvironmentMap, camera_rays
+from adgs_tpu.parallel import make_mesh
+from adgs_tpu.parallel.shard import (make_sharded_train_step,
+                                     sharded_render_images)
+from adgs_tpu.train.config import OptimizationConfig
+from adgs_tpu.train.losses import FrameBatch
+from adgs_tpu.train.optim import TrainableState, init_adam
+from adgs_tpu.train.step import make_train_step
+from adgs_tpu import render as render_lib
+from tests import scene_fixtures as fx
+from tests.test_models_ops import tiny_model
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh({"tile": 8})
+
+
+class TestShardedRender:
+    def test_matches_single_device(self, rng, mesh):
+        params, state, cfg, _ = tiny_model(rng, n=150, quantum=128)
+        cam = fx.make_camera(width=64, height=80, time=0.3)
+
+        single = render_lib.render(cam, params, state, cfg,
+                                   capacity=1 << 14, max_per_tile=256)
+        sharded = sharded_render_images(params, state, cfg, cam, mesh,
+                                        capacity=1 << 13, max_per_tile=256)
+        np.testing.assert_allclose(sharded["render"], single["render"],
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(sharded["depth"], single["depth"],
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(sharded["img_opacity"], single["img_opacity"],
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(sharded["radii"], single["radii"])
+
+    def test_grads_match_single_device(self, rng, mesh):
+        params, state, cfg, _ = tiny_model(rng, n=80, quantum=128)
+        cam = fx.make_camera(width=48, height=48, time=0.2)
+        target = jnp.asarray(rng.uniform(size=(3, 48, 48)), dtype=jnp.float32)
+
+        def loss_single(p):
+            out = render_lib.render(cam, p, state, cfg, capacity=1 << 13,
+                                    max_per_tile=256)
+            return jnp.mean(jnp.abs(out["render"] - target))
+
+        def loss_sharded(p):
+            out = sharded_render_images(p, state, cfg, cam, mesh,
+                                        capacity=1 << 12, max_per_tile=256)
+            return jnp.mean(jnp.abs(out["render"] - target))
+
+        g1 = jax.grad(loss_single)(params)
+        g2 = jax.grad(loss_sharded)(params)
+        for f in ("scene_xyz", "scene_opacity", "scene_scaling",
+                  "scene_rotation", "obj_xyz", "xyz_deform"):
+            np.testing.assert_allclose(
+                getattr(g2, f), getattr(g1, f), rtol=5e-3, atol=1e-6,
+                err_msg=f"sharded grad mismatch: {f}")
+
+
+class TestShardedTrainStep:
+    def test_step_runs_and_matches_unsharded(self, rng, mesh):
+        params, state, cfg, _ = tiny_model(rng, n=100, quantum=128)
+        params = gm.set_init_time_sigma(params, 0.05)
+        cam = fx.make_camera(width=48, height=48, time=0.3)
+        env = EnvironmentMap.create(resolution=32)
+        rays = jnp.asarray(camera_rays(cam.focal_x, cam.height, cam.width),
+                           dtype=jnp.float32)
+        gt = jnp.asarray(rng.uniform(size=(3, 48, 48)), dtype=jnp.float32)
+        batch = FrameBatch(image=gt,
+                           depth=jnp.zeros((48, 48), jnp.float32),
+                           sky=jnp.zeros((48, 48), jnp.float32),
+                           semantic=jnp.zeros((48, 48), jnp.float32))
+        opt = OptimizationConfig(lambda_depth=0.0, lambda_flow=0.0,
+                                 lambda_obj=0.0, lambda_sky=0.05,
+                                 lambda_sigma=0.0, lambda_reg=0.0,
+                                 lambda_sigma_reg=0.0)
+        kw = dict(frame_gap=0.05, scene_extent=10.0, cameras_extent=10.0,
+                  capacity=1 << 12, max_per_tile=256)
+        sstep = make_sharded_train_step(cfg, opt, mesh=mesh, **kw)
+        ustep = make_train_step(cfg, opt, **kw)
+
+        opt_state = init_adam(TrainableState(gaussians=params, env=env))
+        p1, e1, o1, s1, logs1 = sstep(params, env, opt_state, state, cam,
+                                      batch, rays, jnp.float32(1),
+                                      active_sh_degree=0)
+        p2, e2, o2, s2, logs2 = ustep(params, env, opt_state, state, cam,
+                                      batch, rays, jnp.float32(1),
+                                      active_sh_degree=0)
+        np.testing.assert_allclose(float(logs1["total_loss"]),
+                                   float(logs2["total_loss"]), rtol=1e-4)
+        np.testing.assert_allclose(p1.scene_xyz, p2.scene_xyz,
+                                   rtol=1e-3, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(s1.denom), np.asarray(s2.denom),
+                                   atol=0)
