@@ -60,7 +60,7 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings,
     overflow = num_rendered > capacity
 
     slot = jnp.arange(capacity, dtype=jnp.int32)
-    gid = jnp.searchsorted(offsets, slot, side="right").astype(jnp.int32)
+    gid = jnp.searchsorted(offsets, slot, side="right", method="sort").astype(jnp.int32)
     valid = slot < num_rendered
     gid = jnp.clip(gid, 0, max(N - 1, 0))
 

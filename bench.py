@@ -27,8 +27,8 @@ N_GAUSS = int(os.environ.get("BENCH_N_GAUSS", 1_000_000))
 WIDTH = int(os.environ.get("BENCH_WIDTH", 1242))
 HEIGHT = int(os.environ.get("BENCH_HEIGHT", 375))
 ITERS = int(os.environ.get("BENCH_ITERS", 10))
-BACKEND = os.environ.get("BENCH_BACKEND", "xla")
-CAPACITY = int(os.environ.get("BENCH_CAPACITY", 1 << 22))
+BACKEND = os.environ.get("BENCH_BACKEND", "pallas")
+CAPACITY = int(os.environ.get("BENCH_CAPACITY", 2_000_000))
 MAX_PER_TILE = int(os.environ.get("BENCH_MAX_PER_TILE", 4096))
 CHUNK = int(os.environ.get("BENCH_CHUNK", 64))
 
@@ -70,15 +70,49 @@ def main():
     target = jnp.asarray(rng.uniform(size=(3, HEIGHT, WIDTH)),
                          dtype=jnp.float32)
 
-    def loss_fn(p):
-        out = rasterize(means3d=p["means3d"], opacities=p["opacities"],
-                        scales=p["scales"], rotations=p["rotations"],
-                        settings=settings, shs=p["shs"], backend=BACKEND,
-                        capacity=CAPACITY, max_per_tile=MAX_PER_TILE,
-                        chunk=CHUNK)
-        return jnp.mean(jnp.abs(out.color - target)) + 0.1 * jnp.mean(out.depth)
+    if BACKEND == "pallas":
+        # Staged execution: binning (integer sort pipeline, no gradients)
+        # compiles separately from the differentiable render step — same
+        # structure the trainer uses, and it keeps XLA/Mosaic compile time
+        # bounded. The preprocess runs twice (once for binning geometry,
+        # once inside the grad step); it is ~6% of the iteration.
+        from adgs_tpu.raster import preprocess as prep_lib
+        from adgs_tpu.raster import binning as binning_lib
+        from adgs_tpu.raster import composite as cmod
+        from adgs_tpu.raster.pallas import render as pal
+        from adgs_tpu.raster.tiled import tiles_to_image
 
-    step = jax.jit(jax.value_and_grad(loss_fn))
+        @jax.jit
+        def bin_step(p):
+            prep = prep_lib.preprocess(
+                p["means3d"], p["scales"], p["rotations"], p["opacities"],
+                p["shs"], settings)
+            return binning_lib.bin_gaussians(prep, settings,
+                                             capacity=CAPACITY)
+
+        def loss_fn(p, b):
+            prep = prep_lib.preprocess(
+                p["means3d"], p["scales"], p["rotations"], p["opacities"],
+                p["shs"], settings)
+            out = pal.render_pallas(prep, b, settings)
+            return (jnp.mean(jnp.abs(out.color - target))
+                    + 0.1 * jnp.mean(out.depth))
+
+        grad_step = jax.jit(jax.value_and_grad(loss_fn))
+
+        def step(p):
+            b = bin_step(p)
+            return grad_step(p, b)
+    else:
+        def loss_fn(p):
+            out = rasterize(means3d=p["means3d"], opacities=p["opacities"],
+                            scales=p["scales"], rotations=p["rotations"],
+                            settings=settings, shs=p["shs"], backend=BACKEND,
+                            capacity=CAPACITY, max_per_tile=MAX_PER_TILE,
+                            chunk=CHUNK)
+            return (jnp.mean(jnp.abs(out.color - target))
+                    + 0.1 * jnp.mean(out.depth))
+        step = jax.jit(jax.value_and_grad(loss_fn))
 
     # warmup / compile
     loss, grads = step(params)
