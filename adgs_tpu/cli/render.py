@@ -45,21 +45,11 @@ def _save_png(path: str, img) -> None:
     Image.fromarray(arr).save(path)
 
 
-def _lpips_fn():
-    """LPIPS via torchvision-pretrained nets when available (eval-only
-    metric, lpipsPyTorch/ in the reference); None when offline."""
-    try:
-        import torch
-        import lpips_jax  # noqa: F401 — not expected; placeholder
-    except Exception:
-        pass
-    try:
-        import torch
-        from torchvision.models import vgg16
-        # building full LPIPS needs downloaded weights; zero-egress envs skip
-        return None
-    except Exception:
-        return None
+def _lpips_fns():
+    """(vgg_fn, alex_fn) or Nones when pretrained weights are unavailable
+    (ops/lpips.py; weights exported once via export_weights_from_torch)."""
+    from ..ops.lpips import lpips_fn
+    return lpips_fn("vgg"), lpips_fn("alex")
 
 
 def render_set(model_path, name, iteration, frames, params, state, config,
@@ -69,7 +59,8 @@ def render_set(model_path, name, iteration, frames, params, state, config,
     os.makedirs(render_path, exist_ok=True)
     os.makedirs(gts_path, exist_ok=True)
 
-    psnrs, ssims = [], []
+    psnrs, ssims, lpips_vgg, lpips_alex = [], [], [], []
+    lp_vgg, lp_alex = _lpips_fns()
     total_time = 0.0
     rays_cache = {}
     for idx, fr in enumerate(frames):
@@ -91,14 +82,22 @@ def render_set(model_path, name, iteration, frames, params, state, config,
         if cal_metrics:
             psnrs.append(float(psnr(img, batch.image)))
             ssims.append(float(ssim(img, batch.image)))
+            if lp_vgg is not None:
+                lpips_vgg.append(float(lp_vgg(img, batch.image)))
+            if lp_alex is not None:
+                lpips_alex.append(float(lp_alex(img, batch.image)))
         _save_png(os.path.join(render_path, f"{idx:05d}.png"), img)
         _save_png(os.path.join(gts_path, f"{idx:05d}.png"), batch.image)
 
     if cal_metrics and frames:
         fps = len(frames) / total_time
-        res = {f"ours_{iteration}": {
-            "SSIM": float(np.mean(ssims)), "PSNR": float(np.mean(psnrs)),
-            "FPS": fps}}
+        entry = {"SSIM": float(np.mean(ssims)), "PSNR": float(np.mean(psnrs)),
+                 "FPS": fps}
+        if lpips_vgg:
+            entry["LPIPS(VGG)"] = float(np.mean(lpips_vgg))
+        if lpips_alex:
+            entry["LPIPS(ALEX)"] = float(np.mean(lpips_alex))
+        res = {f"ours_{iteration}": entry}
         print(name, json.dumps(res, indent=1))
         out_name = "results.json" if name == "test" else "results-train.json"
         with open(os.path.join(model_path, out_name), "w") as f:
@@ -148,6 +147,36 @@ def main(argv=None):
         if not args.skip_test:
             render_set(args.model_path, "test", iteration, scene.test_frames,
                        params, state, config, env, model_cfg, active_sh)
+    elif args.mode == "deform":
+        # render_deform (render.py:108-137): per-Gaussian motion magnitude
+        # between t and t+dt as override color on the foreground
+        from ..models.gaussians import deformed_xyz
+        frames = scene.train_frames
+        out_dir = os.path.join(args.model_path, "train",
+                               f"ours_{iteration}", "deform")
+        os.makedirs(out_dir, exist_ok=True)
+        rays_cache = {}
+        for idx, fr in enumerate(frames):
+            cam, batch, _ = load_frame(fr, model_cfg.resolution)
+            x1 = deformed_xyz(params, config, jnp.float32(fr.time))
+            x2 = deformed_xyz(params, config,
+                              jnp.float32(fr.time + 1.0 / len(frames)))
+            d = jnp.abs(x2 - x1) * len(frames)
+            d = (d - jnp.min(d)) / jnp.maximum(jnp.max(d) - jnp.min(d), 1e-12)
+            if fr.cam_id not in rays_cache:
+                rays_cache[fr.cam_id] = jnp.asarray(
+                    camera_rays(cam.focal_x, cam.height, cam.width),
+                    dtype=jnp.float32)
+            out = render_lib.render(
+                cam, params, state, config, env_map=env,
+                cam_rays=rays_cache[fr.cam_id],
+                override_color=jnp.clip(d, 0.0, 1.0),
+                active_sh_degree=active_sh, backend=model_cfg.backend,
+                capacity=model_cfg.capacity,
+                max_per_tile=model_cfg.max_per_tile, chunk=model_cfg.chunk)
+            _save_png(os.path.join(out_dir, f"{idx:05d}.png"),
+                      out["foreground"])
+        print("saved deform renders to", out_dir)
     elif args.mode == "time":
         frames = scene.train_frames
         fr = frames[random.randint(0, len(frames) - 1)]

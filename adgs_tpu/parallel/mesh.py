@@ -9,6 +9,22 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: jax.distributed.initialize (auto-detected on
+    TPU pods; explicit args for manual launch). Call before make_mesh on
+    every host; collectives then ride ICI within a slice and DCN across
+    slices. No-op if already initialized."""
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e):
+            raise
+
+
 def make_mesh(axis_sizes: Optional[dict[str, int]] = None) -> Mesh:
     """Build a mesh over all available devices.
 

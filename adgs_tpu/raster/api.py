@@ -45,7 +45,12 @@ def rasterize(
     capacity: int = 1 << 18,
     max_per_tile: int = 2048,
     chunk: int = 32,
+    precomputed_binning=None,
 ) -> RasterOutput:
+    """precomputed_binning: a Binning from `compute_binning` for the SAME
+    geometry — lets callers jit the (non-differentiable) sort pipeline
+    separately from the differentiable render, which keeps compile time
+    bounded on TPU."""
     if shs is None and colors_precomp is None:
         raise ValueError("either shs or colors_precomp is required")
 
@@ -58,7 +63,10 @@ def rasterize(
         return reference_lib.composite_reference(
             prep, settings, flow_points=flow_points, semantic=semantic)
 
-    binning = binning_lib.bin_gaussians(prep, settings, capacity=capacity)
+    if precomputed_binning is not None:
+        binning = precomputed_binning
+    else:
+        binning = binning_lib.bin_gaussians(prep, settings, capacity=capacity)
 
     if backend == "xla":
         max_chunks = -(-max_per_tile // chunk)

@@ -45,6 +45,34 @@ def settings_for_camera(cam: Camera, sh_degree: int,
     )
 
 
+def compute_binning(
+    camera: Camera,
+    params: GaussianParams,
+    state: GaussianState,
+    config: GaussianConfig,
+    active_sh_degree: Optional[int] = None,
+    inv_depth: bool = True,
+    scaling_modifier: float = 1.0,
+    capacity: int = 1 << 18,
+):
+    """The non-differentiable half of a render: deform + preprocess + tile
+    binning. Jit this separately and feed the result to render(...,
+    precomputed_binning=...) — the preprocess is recomputed inside the
+    differentiable step (deterministic, same values)."""
+    from .raster import binning as binning_lib
+    from .raster import preprocess as prep_lib
+
+    sh_degree = (active_sh_degree if active_sh_degree is not None
+                 else config.sh_degree)
+    settings = settings_for_camera(camera, sh_degree, inv_depth,
+                                   scaling_modifier)
+    pkg = deformed_package(params, state, config, camera.time)
+    prep = prep_lib.preprocess(
+        pkg["xyz"], activated_scaling(params), pkg["rotation"],
+        pkg["opacity"], pkg["shs"], settings, active_mask=state.alive)
+    return binning_lib.bin_gaussians(prep, settings, capacity=capacity)
+
+
 def render(
     camera: Camera,
     params: GaussianParams,
@@ -63,6 +91,7 @@ def render(
     capacity: int = 1 << 18,
     max_per_tile: int = 2048,
     chunk: int = 32,
+    precomputed_binning=None,
 ) -> dict[str, Any]:
     sh_degree = (active_sh_degree if active_sh_degree is not None
                  else config.sh_degree)
@@ -94,6 +123,7 @@ def render(
         capacity=capacity,
         max_per_tile=max_per_tile,
         chunk=chunk,
+        precomputed_binning=precomputed_binning,
     )
 
     foreground = out.color

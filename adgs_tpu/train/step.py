@@ -50,11 +50,20 @@ def make_train_step(
 
     render_objmask = opt.lambda_obj > 0.0
 
+    from ..render import compute_binning
+
     @functools.partial(jax.jit, static_argnames=("active_sh_degree",))
-    def step(params: GaussianParams, env: EnvironmentMap,
-             opt_state: AdamState, state: GaussianState,
-             camera: Camera, batch: FrameBatch, cam_rays: jnp.ndarray,
-             iteration: jnp.ndarray, active_sh_degree: int = 3):
+    def bin_step(params, state, camera, active_sh_degree: int = 3):
+        return compute_binning(camera, params, state, config,
+                               active_sh_degree=active_sh_degree,
+                               inv_depth=inv_depth, capacity=capacity)
+
+    @functools.partial(jax.jit, static_argnames=("active_sh_degree",))
+    def grad_step(params: GaussianParams, env: EnvironmentMap,
+                  opt_state: AdamState, state: GaussianState,
+                  camera: Camera, batch: FrameBatch, cam_rays: jnp.ndarray,
+                  iteration: jnp.ndarray, binning,
+                  active_sh_degree: int = 3):
         so = jnp.zeros((params.capacity, 2), dtype=jnp.float32)
 
         def loss_fn(trainables: TrainableState, so):
@@ -65,7 +74,8 @@ def make_train_step(
                 flow_time=flow_time, render_objmask=render_objmask,
                 screen_offset=so, active_sh_degree=active_sh_degree,
                 inv_depth=inv_depth, backend=backend, capacity=capacity,
-                max_per_tile=max_per_tile, chunk=chunk)
+                max_per_tile=max_per_tile, chunk=chunk,
+                precomputed_binning=binning)
             total, logs = compute_losses(
                 pkg, batch, trainables.gaussians, state, config, opt,
                 frame_gap, scene_extent)
@@ -93,5 +103,16 @@ def make_train_step(
         )
         return (new_trainables.gaussians, new_trainables.env, new_opt_state,
                 new_state, logs)
+
+    def step(params, env, opt_state, state, camera, batch, cam_rays,
+             iteration, active_sh_degree: int = 3):
+        """Two jitted dispatches: the integer binning pipeline, then the
+        differentiable render/loss/optimizer step (compile-time bounded —
+        crucial for the Pallas backend on TPU)."""
+        binning = bin_step(params, state, camera,
+                           active_sh_degree=active_sh_degree)
+        return grad_step(params, env, opt_state, state, camera, batch,
+                         cam_rays, iteration, binning,
+                         active_sh_degree=active_sh_degree)
 
     return step

@@ -56,6 +56,7 @@ class MetricsLogger:
         rec = {"step": step}
         rec.update({k: float(v) for k, v in values.items()})
         self.f.write(json.dumps(rec) + "\n")
+        self.f.flush()
         if self.tb is not None:
             for k, v in values.items():
                 self.tb.add_scalar(f"{prefix}/{k}", float(v), step)
