@@ -53,7 +53,8 @@ def _lpips_fns():
 
 
 def render_set(model_path, name, iteration, frames, params, state, config,
-               env, model_cfg, active_sh, cal_metrics=True):
+               env, model_cfg, active_sh, cal_metrics=True,
+               output_video=False, cam_order=()):
     render_path = os.path.join(model_path, name, f"ours_{iteration}", "renders")
     gts_path = os.path.join(model_path, name, f"ours_{iteration}", "gt")
     os.makedirs(render_path, exist_ok=True)
@@ -63,6 +64,7 @@ def render_set(model_path, name, iteration, frames, params, state, config,
     lp_vgg, lp_alex = _lpips_fns()
     total_time = 0.0
     rays_cache = {}
+    renderings: dict = {}
     for idx, fr in enumerate(frames):
         cam, batch, _ = load_frame(fr, model_cfg.resolution)
         if fr.cam_id not in rays_cache:
@@ -88,6 +90,21 @@ def render_set(model_path, name, iteration, frames, params, state, config,
                 lpips_alex.append(float(lp_alex(img, batch.image)))
         _save_png(os.path.join(render_path, f"{idx:05d}.png"), img)
         _save_png(os.path.join(gts_path, f"{idx:05d}.png"), batch.image)
+        if output_video:
+            frame8 = (np.clip(np.asarray(img).transpose(1, 2, 0), 0, 1)
+                      * 255).astype(np.uint8)
+            renderings.setdefault(fr.cam_id, []).append(frame8)
+
+    if output_video and renderings:
+        # per-camera videos concatenated side by side (render.py:72-86)
+        import imageio
+        order = list(cam_order) or sorted(renderings.keys())
+        video = np.concatenate(
+            [np.stack(renderings[c]) for c in order], axis=2)
+        vpath = os.path.join(model_path, name, f"ours_{iteration}",
+                             "video.mp4")
+        imageio.mimwrite(vpath, video, fps=10, quality=8)
+        print("wrote", vpath)
 
     if cal_metrics and frames:
         fps = len(frames) / total_time
@@ -112,6 +129,8 @@ def main(argv=None):
     parser.add_argument("--skip_test", action="store_true")
     parser.add_argument("--mode", default="render", type=str)
     parser.add_argument("--source_path", "-s", default=None)
+    parser.add_argument("--video", "-v", action="store_true")
+    parser.add_argument("--cam_order", nargs="+", type=int, default=[])
     args = parser.parse_args(argv)
 
     model_cfg, opt_cfg = load_cfg_args(args.model_path)
@@ -143,10 +162,12 @@ def main(argv=None):
         if not args.skip_train:
             render_set(args.model_path, "train", iteration,
                        scene.train_frames, params, state, config, env,
-                       model_cfg, active_sh)
+                       model_cfg, active_sh, output_video=args.video,
+                       cam_order=args.cam_order)
         if not args.skip_test:
             render_set(args.model_path, "test", iteration, scene.test_frames,
-                       params, state, config, env, model_cfg, active_sh)
+                       params, state, config, env, model_cfg, active_sh,
+                       output_video=args.video, cam_order=args.cam_order)
     elif args.mode == "deform":
         # render_deform (render.py:108-137): per-Gaussian motion magnitude
         # between t and t+dt as override color on the foreground

@@ -27,6 +27,8 @@ def main(argv=None):
     parser.add_argument("--test_iterations", nargs="+", type=int, default=[])
     parser.add_argument("--save_iterations", nargs="+", type=int, default=[])
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--start_checkpoint", type=str, default=None,
+                        help="train_state.npz to resume from")
     parser.add_argument("--quiet", action="store_true")
     mc = ModelConfig()
     oc = OptimizationConfig()
@@ -69,6 +71,9 @@ def main(argv=None):
         chunk=model_cfg.chunk,
         inv_depth=model_cfg.inv_depth,
         seed=args.seed)
+
+    if args.start_checkpoint:
+        trainer.resume(args.start_checkpoint)
 
     save_iters = sorted(set(args.save_iterations + [opt_cfg.iterations]))
     test_iters = sorted(set(args.test_iterations + [opt_cfg.iterations]))

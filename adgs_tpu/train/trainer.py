@@ -295,6 +295,17 @@ class Trainer:
             print(f"[ITER {it}] test PSNR {np.mean(vals):.2f}")
             self.logger.scalars(it, {"psnr": np.mean(vals)}, prefix="test")
 
+    def resume(self, path: str):
+        """True mid-training resume from a train_state.npz snapshot (the
+        reference can only restore weights for rendering — SURVEY.md §5)."""
+        tr, self.opt_state, self.state, it = ckpt_lib.load_state(
+            path, TrainableState(self.params, self.env), self.opt_state,
+            self.state)
+        self.params, self.env = tr.gaussians, tr.env
+        self.iteration = it
+        self.active_sh_degree = min(it // 1000, self.config.sh_degree)
+        print(f"[resume] restored iteration {it}")
+
     def save(self, it: int):
         base = os.path.join(self.model_path, "point_cloud",
                             f"iteration_{it}")
