@@ -112,6 +112,29 @@ def _render_local_slab(prep: Preprocessed, settings: RasterSettings,
     return slab, t, wprep.visible
 
 
+def _slice_gaussian_axis(tree, d: jnp.ndarray, D: int, scene_cap: int,
+                         obj_cap: int):
+    """Slice every per-Gaussian leading axis to this device's 1/D block.
+    Leaves whose leading dim matches neither block size (e.g. the shared
+    background trajectory) are left whole."""
+    def f(x):
+        if not hasattr(x, "ndim") or x.ndim == 0:
+            return x
+        n = x.shape[0]
+        if n == scene_cap or n == obj_cap:
+            per = n // D
+            return jax.lax.dynamic_slice_in_dim(x, d * per, per, axis=0)
+        if n == scene_cap + obj_cap:
+            # combined [scene | obj] layout: slice each block's 1/D chunk
+            s = jax.lax.dynamic_slice_in_dim(
+                x, d * (scene_cap // D), scene_cap // D, axis=0)
+            o = jax.lax.dynamic_slice_in_dim(
+                x, scene_cap + d * (obj_cap // D), obj_cap // D, axis=0)
+            return jnp.concatenate([s, o], axis=0)
+        return x
+    return jax.tree.map(f, tree)
+
+
 def sharded_render_images(
     params: GaussianParams, state: GaussianState, config: GaussianConfig,
     camera: Camera, mesh: Mesh, axis: str = "tile",
@@ -123,24 +146,71 @@ def sharded_render_images(
     active_sh_degree: Optional[int] = None,
     inv_depth: bool = True,
     capacity: int = 1 << 18, max_per_tile: int = 2048, chunk: int = 32,
+    shard_primitives: bool = True,
 ) -> dict:
-    """Full multi-device render returning the same dict as render()."""
+    """Full multi-device render returning the same dict as render().
+
+    Two sharded axes of work ride the SAME mesh axis:
+      - primitive axis: each device deforms + preprocesses only its 1/D
+        slice of the Gaussians, and per-Gaussian quantities are all-gathered
+        (the transpose reduces cotangents back to the owning shard);
+      - pixel axis: each device bins + composites its tile-row slab.
+    """
     sh_degree = (active_sh_degree if active_sh_degree is not None
                  else config.sh_degree)
     settings = settings_for_camera(camera, sh_degree, inv_depth)
     D = mesh.shape[axis]
     rows_per_dev = -(-settings.grid_y // D)
+    can_shard_prims = (shard_primitives
+                       and params.scene_capacity % D == 0
+                       and params.obj_capacity % D == 0)
 
     def inner(params, state, screen_offset):
-        pkg = deformed_package(params, state, config, camera.time)
-        flow_points = (deformed_xyz(params, config, flow_time)
-                       if flow_time is not None else None)
-        semantic = (obj_mask(params).astype(jnp.float32)[:, None]
-                    if render_objmask else None)
-        prep = prep_lib.preprocess(
-            pkg["xyz"], activated_scaling(params), pkg["rotation"],
-            pkg["opacity"], pkg["shs"], settings,
-            screen_offset=screen_offset, active_mask=state.alive)
+        if can_shard_prims:
+            d = jax.lax.axis_index(axis)
+            p_loc = _slice_gaussian_axis(params, d, D,
+                                         params.scene_capacity,
+                                         params.obj_capacity)
+            s_loc = _slice_gaussian_axis(state, d, D, params.scene_capacity,
+                                         params.obj_capacity)
+            so_loc = _slice_gaussian_axis(screen_offset, d, D,
+                                          params.scene_capacity,
+                                          params.obj_capacity)
+            pkg_loc = deformed_package(p_loc, s_loc, config, camera.time)
+            flow_loc = (deformed_xyz(p_loc, config, flow_time)
+                        if flow_time is not None else None)
+            sem_loc = (obj_mask(p_loc).astype(jnp.float32)[:, None]
+                       if render_objmask else None)
+            prep_loc = prep_lib.preprocess(
+                pkg_loc["xyz"], activated_scaling(p_loc), pkg_loc["rotation"],
+                pkg_loc["opacity"], pkg_loc["shs"], settings,
+                screen_offset=so_loc, active_mask=s_loc.alive)
+
+            def gather_blocks(x):
+                # per-device [Ns/D + No/D] halves -> full [Ns + No] order
+                g = jax.lax.all_gather(x, axis)          # [D, n/D, ...]
+                ns = params.scene_capacity // D
+                scene = g[:, :ns].reshape((-1,) + x.shape[1:])
+                objp = g[:, ns:].reshape((-1,) + x.shape[1:])
+                return jnp.concatenate([scene, objp], axis=0)
+
+            prep = jax.tree.map(gather_blocks, prep_loc)
+            flow_points = (gather_blocks(flow_loc)
+                           if flow_loc is not None else None)
+            semantic = (gather_blocks(sem_loc)
+                        if sem_loc is not None else None)
+            # shs for pkg output (densify/debug consumers)
+            pkg = jax.tree.map(gather_blocks, pkg_loc)
+        else:
+            pkg = deformed_package(params, state, config, camera.time)
+            flow_points = (deformed_xyz(params, config, flow_time)
+                           if flow_time is not None else None)
+            semantic = (obj_mask(params).astype(jnp.float32)[:, None]
+                        if render_objmask else None)
+            prep = prep_lib.preprocess(
+                pkg["xyz"], activated_scaling(params), pkg["rotation"],
+                pkg["opacity"], pkg["shs"], settings,
+                screen_offset=screen_offset, active_mask=state.alive)
         slab, t, visible = _render_local_slab(
             prep, settings, rows_per_dev, axis, flow_points, semantic,
             capacity, max_per_tile, chunk)
