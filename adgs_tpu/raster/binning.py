@@ -80,8 +80,11 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings,
     tile = jnp.where(valid, ty * grid_x + tx, num_tiles).astype(jnp.int32)
 
     depth = prep.depth[gid]
-    tile_s, _, gid_s, valid_s = jax.lax.sort(
-        (tile, depth, gid, valid), num_keys=2, is_stable=True)
+    tile_s, _, gid_s = jax.lax.sort(
+        (tile, depth, gid), num_keys=2, is_stable=True)
+    # padding slots were keyed tile == num_tiles, so they sort last and
+    # validity needs no payload
+    valid_s = tile_s < num_tiles
 
     t_idx = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_start = jnp.searchsorted(tile_s, t_idx, side="left").astype(jnp.int32)
