@@ -10,7 +10,7 @@ import dataclasses
 import importlib.util
 import json
 import os
-from typing import Any, Optional
+from typing import Optional
 
 from ..train.config import OptimizationConfig
 

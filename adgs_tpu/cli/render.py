@@ -10,7 +10,6 @@ Modes (render.py GENERAL_RENDER_FUNC / POINT_CLOUD_FUNC / 'time'):
 from __future__ import annotations
 
 import argparse
-import copy
 import dataclasses
 import json
 import os
@@ -65,6 +64,10 @@ def render_set(model_path, name, iteration, frames, params, state, config,
     total_time = 0.0
     rays_cache = {}
     renderings: dict = {}
+    render_fn = render_lib.make_staged_render_fn(
+        config, active_sh_degree=active_sh, inv_depth=model_cfg.inv_depth,
+        backend=model_cfg.backend, capacity=model_cfg.capacity,
+        max_per_tile=model_cfg.max_per_tile, chunk=model_cfg.chunk)
     for idx, fr in enumerate(frames):
         cam, batch, _ = load_frame(fr, model_cfg.resolution)
         if fr.cam_id not in rays_cache:
@@ -72,12 +75,7 @@ def render_set(model_path, name, iteration, frames, params, state, config,
                 camera_rays(cam.focal_x, cam.height, cam.width),
                 dtype=jnp.float32)
         t0 = time_mod.time()
-        out = render_lib.render(
-            cam, params, state, config, env_map=env,
-            cam_rays=rays_cache[fr.cam_id], active_sh_degree=active_sh,
-            inv_depth=model_cfg.inv_depth, backend=model_cfg.backend,
-            capacity=model_cfg.capacity, max_per_tile=model_cfg.max_per_tile,
-            chunk=model_cfg.chunk)
+        out = render_fn(cam, params, state, env, rays_cache[fr.cam_id])
         img = jnp.clip(out["render"], 0.0, 1.0)
         img.block_until_ready()
         total_time += time_mod.time() - t0

@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-import sys
 
 from ..data.readers import read_scene
 from ..train.config import OptimizationConfig
@@ -70,7 +69,8 @@ def main(argv=None):
         max_per_tile=model_cfg.max_per_tile,
         chunk=model_cfg.chunk,
         inv_depth=model_cfg.inv_depth,
-        seed=args.seed)
+        seed=args.seed,
+        white_background=model_cfg.white_background)
 
     if args.start_checkpoint:
         trainer.resume(args.start_checkpoint)

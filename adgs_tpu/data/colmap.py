@@ -7,7 +7,6 @@ points3D.bin (and their .txt forms) as used by the offline SfM pipeline
 
 from __future__ import annotations
 
-import os
 import struct
 from typing import NamedTuple
 

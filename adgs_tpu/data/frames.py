@@ -9,7 +9,6 @@ at native resolution.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ list-of-[time, K, R, T, flow(2HW), vis(HW)] layout.
 
 from __future__ import annotations
 
-import dataclasses
 import os
 from typing import NamedTuple, Optional
 

@@ -16,7 +16,6 @@ Capability parity with scene/env.py (EnvironmentMap, 101 LoC):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

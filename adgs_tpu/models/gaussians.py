@@ -21,7 +21,7 @@ with an alive mask; clone/split/prune become masked scatters at fixed shape
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -46,9 +46,8 @@ from ..raster import composite as composite_lib
 from ..raster import preprocess as prep_lib
 from ..raster import tiled as tiled_lib
 from ..raster.preprocess import Preprocessed
-from ..raster.types import RasterSettings, TILE_Y, TILE_PIX
+from ..raster.types import RasterSettings, TILE_Y
 from ..render import settings_for_camera
-from .mesh import make_mesh
 from ..train.config import OptimizationConfig
 from ..train.losses import FrameBatch, compute_losses
 from ..train.optim import TrainableState, AdamState, adam_update, lr_tree

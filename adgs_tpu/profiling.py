@@ -10,7 +10,6 @@ measures wall-clock FPS — SURVEY.md §5).
 from __future__ import annotations
 
 import contextlib
-import json
 import time
 from typing import Optional
 

@@ -17,7 +17,6 @@ with `binning.required_capacity`.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax.numpy as jnp

@@ -73,6 +73,42 @@ def compute_binning(
     return binning_lib.bin_gaussians(prep, settings, capacity=capacity)
 
 
+def make_staged_render_fn(config: GaussianConfig,
+                          active_sh_degree: Optional[int] = None,
+                          inv_depth: bool = True,
+                          backend: str = "xla",
+                          capacity: int = 1 << 18,
+                          max_per_tile: int = 2048,
+                          chunk: int = 32,
+                          render_objmask: bool = False):
+    """Jitted (binning, render) pair for inference/eval: two bounded
+    compiles instead of one monolithic program (critical on the TPU
+    remote-compile path — see CLAUDE.md). Returns
+    fn(camera, params, state, env, cam_rays) -> render() dict."""
+    import jax
+
+    @jax.jit
+    def bin_f(camera, params, state):
+        return compute_binning(camera, params, state, config,
+                               active_sh_degree=active_sh_degree,
+                               inv_depth=inv_depth, capacity=capacity)
+
+    @jax.jit
+    def rend_f(camera, params, state, env, cam_rays, binning):
+        return render(camera, params, state, config, env_map=env,
+                      cam_rays=cam_rays, render_objmask=render_objmask,
+                      active_sh_degree=active_sh_degree, inv_depth=inv_depth,
+                      backend=backend, capacity=capacity,
+                      max_per_tile=max_per_tile, chunk=chunk,
+                      precomputed_binning=binning)
+
+    def full(camera, params, state, env, cam_rays):
+        return rend_f(camera, params, state, env, cam_rays,
+                      bin_f(camera, params, state))
+
+    return full
+
+
 def render(
     camera: Camera,
     params: GaussianParams,

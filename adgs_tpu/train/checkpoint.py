@@ -25,7 +25,6 @@ from typing import Optional
 import numpy as np
 import jax.numpy as jnp
 
-from ..models.env_map import EnvironmentMap
 from ..models.gaussians import (GaussianConfig, GaussianParams, GaussianState)
 from ..core import splines
 from .optim import AdamState, TrainableState

@@ -15,8 +15,7 @@ sqrt, matching torch), bias correction by step count.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Callable, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -31,8 +31,7 @@ from ..data.readers import SceneData
 from ..data.frames import load_frame, flow_package
 from .. import render as render_lib
 from .config import OptimizationConfig
-from .losses import FrameBatch
-from .optim import AdamState, TrainableState, init_adam
+from .optim import TrainableState, init_adam
 from .step import make_train_step
 from . import checkpoint as ckpt_lib
 from . import densify as densify_lib
@@ -81,7 +80,8 @@ class Trainer:
                  chunk: int = 32,
                  inv_depth: bool = True,
                  seed: int = 0,
-                 capacity_quantum: int = 4096):
+                 capacity_quantum: int = 4096,
+                 white_background: bool = False):
         self.scene = scene
         self.opt = opt
         self.model_path = model_path
@@ -90,6 +90,7 @@ class Trainer:
         self.max_per_tile = max_per_tile
         self.chunk = chunk
         self.inv_depth = inv_depth
+        self.white_background = white_background
         self.resolution = resolution
         self.capacity_quantum = capacity_quantum
         self.rng = random.Random(seed)
@@ -266,7 +267,11 @@ class Trainer:
                 elif (self.use_near_idx
                       and it % opt.near_idx_reset_interval == 0):
                     self.refresh_near_idx()
-                if it % opt.opacity_reset_interval == 0:
+                if (it % opt.opacity_reset_interval == 0
+                        or (self.white_background
+                            and it == opt.densify_from_iter)):
+                    # white-background scenes also reset once at the start
+                    # of densification (train.py:158-160)
                     t, self.opt_state = densify_lib.reset_opacity(
                         TrainableState(self.params, self.env), self.opt_state)
                     self.params, self.env = t.gaussians, t.env
@@ -279,21 +284,34 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def evaluate(self, it: int, max_frames: int = 10):
-        vals = []
-        for i in range(min(max_frames, len(self.scene.test_frames))):
-            cam, batch, _ = self._get_frame("test", i)
-            rays = self._rays_for(cam, self.scene.test_frames[i].cam_id)
-            out = render_lib.render(
-                cam, self.params, self.state, self.config, env_map=self.env,
-                cam_rays=rays, active_sh_degree=self.active_sh_degree,
+        key = ("eval", self.active_sh_degree)
+        if key not in self._frame_cache:
+            self._frame_cache[key] = render_lib.make_staged_render_fn(
+                self.config, active_sh_degree=self.active_sh_degree,
                 inv_depth=self.inv_depth, backend=self.backend,
                 capacity=self.capacity, max_per_tile=self.max_per_tile,
                 chunk=self.chunk)
-            vals.append(float(psnr(jnp.clip(out["render"], 0, 1),
-                                   batch.image)))
-        if vals:
-            print(f"[ITER {it}] test PSNR {np.mean(vals):.2f}")
-            self.logger.scalars(it, {"psnr": np.mean(vals)}, prefix="test")
+        render_fn = self._frame_cache[key]
+        # test split + 5 fixed train cameras (training_report,
+        # train.py:195-199)
+        configs = [("test", range(min(max_frames,
+                                      len(self.scene.test_frames))))]
+        if self.scene.train_frames:
+            n_tr = len(self.scene.train_frames)
+            configs.append(("train", [i % n_tr for i in range(5, 30, 5)]))
+        for split, idxs in configs:
+            frames = (self.scene.test_frames if split == "test"
+                      else self.scene.train_frames)
+            vals = []
+            for i in idxs:
+                cam, batch, _ = self._get_frame(split, i)
+                rays = self._rays_for(cam, frames[i].cam_id)
+                out = render_fn(cam, self.params, self.state, self.env, rays)
+                vals.append(float(psnr(jnp.clip(out["render"], 0, 1),
+                                       batch.image)))
+            if vals:
+                print(f"[ITER {it}] {split} PSNR {np.mean(vals):.2f}")
+                self.logger.scalars(it, {"psnr": np.mean(vals)}, prefix=split)
 
     def resume(self, path: str):
         """True mid-training resume from a train_state.npz snapshot (the
