@@ -429,15 +429,18 @@ def _composite_bwd(num_tiles, grid_x, residuals, g):
     g_all = jnp.concatenate([g.blended, g.final_t[:, None, :]], axis=1)
     grad_inst = _bwd_call(inst, F, astart, tile_info[2], g_all,
                           out, num_tiles, grid_x, ch, R_pad)
-    # one fused deterministic per-Gaussian reduction over duplicated
-    # instances: [R_a, 6+ch] real rows scatter-added by gaussian id
-    # (the buffer is sublane-padded to a multiple of 8 — skip the padding)
-    gi = grad_inst[:6 + ch, :R_a].T
-    per_gauss = jax.ops.segment_sum(gi, gid_a, num_segments=n_gauss)
-    d_mean2d = per_gauss[:, 0:2]
-    d_conic = per_gauss[:, 2:5]
-    d_opacity = per_gauss[:, 5]
-    d_feat = per_gauss[:, 6:6 + ch]
+    # deterministic per-Gaussian reduction over duplicated instances:
+    # one scalar segment_sum per gradient row. Row-major [R] operands keep
+    # the native lane layout — a single 2D [R, 10] segment_sum pays an 8%
+    # lane-utilization layout and profiled ~100x slower.
+    def seg(row):
+        return jax.ops.segment_sum(row, gid_a, num_segments=n_gauss)
+
+    cols = [seg(grad_inst[i, :R_a]) for i in range(6 + ch)]
+    d_mean2d = jnp.stack(cols[0:2], axis=-1)
+    d_conic = jnp.stack(cols[2:5], axis=-1)
+    d_opacity = cols[5]
+    d_feat = jnp.stack(cols[6:6 + ch], axis=-1)
     f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)  # noqa: E731
     zero_t = (f0(tile_info[0]), f0(tile_info[1]), f0(tile_info[2]))
     return (d_mean2d, d_conic, d_opacity, d_feat,
