@@ -75,8 +75,13 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings,
     excl = offsets[gid] - tiles[gid]
     local = slot - excl
     rect_w = jnp.maximum(prep.rect_max[gid, 0] - prep.rect_min[gid, 0], 1)
-    ty = prep.rect_min[gid, 1] + local // rect_w
-    tx = prep.rect_min[gid, 0] + local % rect_w
+    # data-dependent integer div/mod is slow on the VPU; local and rect_w
+    # are far below 2^23 so f32 division is exact after floor
+    ly = jnp.floor(local.astype(jnp.float32)
+                   / rect_w.astype(jnp.float32)).astype(jnp.int32)
+    lx = local - ly * rect_w
+    ty = prep.rect_min[gid, 1] + ly
+    tx = prep.rect_min[gid, 0] + lx
     tile = jnp.where(valid, ty * grid_x + tx, num_tiles).astype(jnp.int32)
 
     depth = prep.depth[gid]
