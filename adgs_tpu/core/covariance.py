@@ -21,21 +21,39 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from .quaternion import to_rotation_matrix
 
 
 def build_cov3d(scaling: jnp.ndarray, rotation: jnp.ndarray,
                 scale_modifier: float = 1.0) -> jnp.ndarray:
     """[N,3] activated scales + [N,4] unit wxyz quats -> [N,6] upper-tri
-    covariance [xx, xy, xz, yy, yz, zz] with Sigma = R^T diag(s^2) R."""
-    R = to_rotation_matrix(rotation, normalized=True)  # [N,3,3]
-    M = (scale_modifier * scaling)[..., None] * R      # diag(s) @ R, rows scaled
-    sigma = jnp.einsum("nij,nik->njk", M, M)           # M^T M
-    return jnp.stack(
-        [sigma[..., 0, 0], sigma[..., 0, 1], sigma[..., 0, 2],
-         sigma[..., 1, 1], sigma[..., 1, 2], sigma[..., 2, 2]],
-        axis=-1,
-    )
+    covariance [xx, xy, xz, yy, yz, zz] with Sigma = R^T diag(s^2) R.
+
+    Written as closed-form elementwise math: batched [N,3,3] einsums lower
+    to tiny MXU matmuls with bf16 conversion fusions that profile ~10x
+    slower than straight VPU arithmetic at N~1e6."""
+    r, x, y, z = (rotation[..., 0], rotation[..., 1], rotation[..., 2],
+                  rotation[..., 3])
+    # rows of build_rotation (utils/general_utils.py:79-97)
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - r * z)
+    r02 = 2 * (x * z + r * y)
+    r10 = 2 * (x * y + r * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - r * x)
+    r20 = 2 * (x * z - r * y)
+    r21 = 2 * (y * z + r * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    s2 = (scale_modifier * scaling) ** 2
+    s0, s1, s2_ = s2[..., 0], s2[..., 1], s2[..., 2]
+    # Sigma_ij = sum_k s_k^2 R_ki R_kj
+    return jnp.stack([
+        s0 * r00 * r00 + s1 * r10 * r10 + s2_ * r20 * r20,
+        s0 * r00 * r01 + s1 * r10 * r11 + s2_ * r20 * r21,
+        s0 * r00 * r02 + s1 * r10 * r12 + s2_ * r20 * r22,
+        s0 * r01 * r01 + s1 * r11 * r11 + s2_ * r21 * r21,
+        s0 * r01 * r02 + s1 * r11 * r12 + s2_ * r21 * r22,
+        s0 * r02 * r02 + s1 * r12 * r12 + s2_ * r22 * r22,
+    ], axis=-1)
 
 
 class Cov2D(NamedTuple):
@@ -61,17 +79,21 @@ def project_cov3d_to_2d(
 
     # world->cam rotation (stored matrix is transposed)
     R_wc = world_view[:3, :3].T
-    # Sigma_cam = R_wc Sigma R_wc^T, via full symmetric matrix
-    s = cov3d
-    sigma = jnp.stack(
-        [
-            jnp.stack([s[..., 0], s[..., 1], s[..., 2]], axis=-1),
-            jnp.stack([s[..., 1], s[..., 3], s[..., 4]], axis=-1),
-            jnp.stack([s[..., 2], s[..., 4], s[..., 5]], axis=-1),
-        ],
-        axis=-2,
-    )  # [N,3,3]
-    sigma_cam = jnp.einsum("ij,njk,lk->nil", R_wc, sigma, R_wc)
+    # Sigma_cam = R_wc Sigma R_wc^T, expanded elementwise (a batched-small
+    # einsum lowers to pathological tiny-matmul fusions at N~1e6)
+    a = R_wc  # [3,3] traced scalars
+    v0, v1, v2 = cov3d[..., 0], cov3d[..., 1], cov3d[..., 2]
+    v3, v4, v5 = cov3d[..., 3], cov3d[..., 4], cov3d[..., 5]
+    # t_i = row i of (A @ Sigma)
+    t00 = a[0, 0] * v0 + a[0, 1] * v1 + a[0, 2] * v2
+    t01 = a[0, 0] * v1 + a[0, 1] * v3 + a[0, 2] * v4
+    t02 = a[0, 0] * v2 + a[0, 1] * v4 + a[0, 2] * v5
+    t10 = a[1, 0] * v0 + a[1, 1] * v1 + a[1, 2] * v2
+    t11 = a[1, 0] * v1 + a[1, 1] * v3 + a[1, 2] * v4
+    t12 = a[1, 0] * v2 + a[1, 1] * v4 + a[1, 2] * v5
+    t20 = a[2, 0] * v0 + a[2, 1] * v1 + a[2, 2] * v2
+    t21 = a[2, 0] * v1 + a[2, 1] * v3 + a[2, 2] * v4
+    t22 = a[2, 0] * v2 + a[2, 1] * v4 + a[2, 2] * v5
 
     inv_z = 1.0 / tz
     inv_z2 = inv_z * inv_z
@@ -81,12 +103,12 @@ def project_cov3d_to_2d(
     j11 = focal_y * inv_z
     j12 = -focal_y * tyz * inv_z2
 
-    s00 = sigma_cam[..., 0, 0]
-    s01 = sigma_cam[..., 0, 1]
-    s02 = sigma_cam[..., 0, 2]
-    s11 = sigma_cam[..., 1, 1]
-    s12 = sigma_cam[..., 1, 2]
-    s22 = sigma_cam[..., 2, 2]
+    s00 = t00 * a[0, 0] + t01 * a[0, 1] + t02 * a[0, 2]
+    s01 = t00 * a[1, 0] + t01 * a[1, 1] + t02 * a[1, 2]
+    s02 = t00 * a[2, 0] + t01 * a[2, 1] + t02 * a[2, 2]
+    s11 = t10 * a[1, 0] + t11 * a[1, 1] + t12 * a[1, 2]
+    s12 = t10 * a[2, 0] + t11 * a[2, 1] + t12 * a[2, 2]
+    s22 = t20 * a[2, 0] + t21 * a[2, 1] + t22 * a[2, 2]
 
     cxx = j00 * (j00 * s00 + j02 * s02) + j02 * (j00 * s02 + j02 * s22) + 0.3
     cxy = j00 * (j11 * s01 + j12 * s02) + j02 * (j11 * s12 + j12 * s22)
