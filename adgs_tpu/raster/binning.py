@@ -72,19 +72,27 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings,
     valid = slot < num_rendered
     gid = jnp.clip(gid, 0, max(N - 1, 0))
 
-    excl = offsets[gid] - tiles[gid]
+    # pack the five per-gaussian lookups into one row-gather and isolate it
+    # with a barrier: gathers embedded in elementwise fusions fall off the
+    # fast dynamic-gather path and scalarize (profiled ~10x slower)
+    table = jnp.stack([starts,
+                       prep.rect_min[:, 0], prep.rect_min[:, 1],
+                       prep.rect_max[:, 0]], axis=-1)
+    gid = jax.lax.optimization_barrier(gid)
+    g_rows = jax.lax.optimization_barrier(table[gid])
+    depth = jax.lax.optimization_barrier(prep.depth[gid])
+    excl = g_rows[:, 0]
     local = slot - excl
-    rect_w = jnp.maximum(prep.rect_max[gid, 0] - prep.rect_min[gid, 0], 1)
+    rect_w = jnp.maximum(g_rows[:, 3] - g_rows[:, 1], 1)
     # data-dependent integer div/mod is slow on the VPU; local and rect_w
     # are far below 2^23 so f32 division is exact after floor
     ly = jnp.floor(local.astype(jnp.float32)
                    / rect_w.astype(jnp.float32)).astype(jnp.int32)
     lx = local - ly * rect_w
-    ty = prep.rect_min[gid, 1] + ly
-    tx = prep.rect_min[gid, 0] + lx
+    ty = g_rows[:, 2] + ly
+    tx = g_rows[:, 1] + lx
     tile = jnp.where(valid, ty * grid_x + tx, num_tiles).astype(jnp.int32)
 
-    depth = prep.depth[gid]
     tile_s, _, gid_s = jax.lax.sort(
         (tile, depth, gid), num_keys=2, is_stable=True)
     # padding slots were keyed tile == num_tiles, so they sort last and

@@ -96,7 +96,10 @@ def build_aligned_instances(gauss_id, valid, tile_id, tile_start, tile_count,
     gid_a = jnp.zeros(cap, jnp.int32).at[dest].set(gauss_id, mode="drop")
     ok = jnp.zeros(cap, bool).at[dest].set(True, mode="drop")
 
-    rows = packed[gid_a]                        # [R_a, F] one row gather
+    # barriers keep the gather/scatter ops on their fast standalone paths
+    # (fused into elementwise ops they scalarize; see binning.py)
+    gid_a = jax.lax.optimization_barrier(gid_a)
+    rows = jax.lax.optimization_barrier(packed[gid_a])  # [R_a, F] row gather
     rows = jnp.where(ok[:, None], rows, 0.0)    # dead slots: alpha-gated out
     inst = rows.T                               # [F, R_a]
     pad = jnp.zeros((inst.shape[0], CHUNK), dtype=jnp.float32)
@@ -391,9 +394,11 @@ def segment_reduce_pallas(rows: jnp.ndarray, gid: jnp.ndarray,
     perm = jnp.argsort(gid)
     gid_sorted = gid[perm]
     # per-row lane-layout gathers: one fused [R, G] gather materializes a
-    # transposed-minor layout and profiles ~10x slower
+    # transposed-minor layout and profiles ~10x slower; barriers keep each
+    # gather on the fast standalone path
+    perm = jax.lax.optimization_barrier(perm)
     rows_sorted = jnp.stack(
-        [rows[i][perm] for i in range(g_rows)]
+        [jax.lax.optimization_barrier(rows[i][perm]) for i in range(g_rows)]
         + [gid_sorted.astype(jnp.float32)], axis=0)
     # pad rows to a sublane tile and columns by a chunk
     g_pad = _round8(g_rows + 1) - (g_rows + 1)
