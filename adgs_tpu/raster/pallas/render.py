@@ -394,11 +394,13 @@ def segment_reduce_pallas(rows: jnp.ndarray, gid: jnp.ndarray,
     perm = jnp.argsort(gid)
     gid_sorted = gid[perm]
     # per-row lane-layout gathers: one fused [R, G] gather materializes a
-    # transposed-minor layout and profiles ~10x slower; barriers keep each
-    # gather on the fast standalone path
+    # transposed-minor layout and profiles ~10x slower. Barriers must wrap
+    # the gather INPUTS — a slice fused into the gather operand pushes it
+    # off the fast path just as badly (profiled 16ms/row vs 0.1ms).
     perm = jax.lax.optimization_barrier(perm)
+    row_list = [jax.lax.optimization_barrier(rows[i]) for i in range(g_rows)]
     rows_sorted = jnp.stack(
-        [jax.lax.optimization_barrier(rows[i][perm]) for i in range(g_rows)]
+        [jax.lax.optimization_barrier(r[perm]) for r in row_list]
         + [gid_sorted.astype(jnp.float32)], axis=0)
     # pad rows to a sublane tile and columns by a chunk
     g_pad = _round8(g_rows + 1) - (g_rows + 1)
