@@ -46,9 +46,18 @@ def _save_png(path: str, img) -> None:
 
 def _lpips_fns():
     """(vgg_fn, alex_fn) or Nones when pretrained weights are unavailable
-    (ops/lpips.py; weights exported once via export_weights_from_torch)."""
+    (ops/lpips.py; weights exported once via tools/export_lpips_weights.py).
+    The miss is LOUD: silently omitting a headline metric from results.json
+    hides a broken eval setup."""
+    import sys
     from ..ops.lpips import lpips_fn
-    return lpips_fn("vgg"), lpips_fn("alex")
+    vgg, alex = lpips_fn("vgg"), lpips_fn("alex")
+    if vgg is None or alex is None:
+        print("WARNING: LPIPS weights not found (set ADGS_LPIPS_WEIGHTS or "
+              "run tools/export_lpips_weights.py on a machine with "
+              "torchvision); results.json will omit LPIPS",
+              file=sys.stderr)
+    return vgg, alex
 
 
 def render_set(model_path, name, iteration, frames, params, state, config,

@@ -29,6 +29,9 @@ def main(argv=None):
     parser.add_argument("--start_checkpoint", type=str, default=None,
                         help="train_state.npz to resume from")
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="dump a jax.profiler trace of a short "
+                             "steady-state step window to DIR")
     mc = ModelConfig()
     oc = OptimizationConfig()
     add_dataclass_args(parser, mc)
@@ -70,7 +73,8 @@ def main(argv=None):
         chunk=model_cfg.chunk,
         inv_depth=model_cfg.inv_depth,
         seed=args.seed,
-        white_background=model_cfg.white_background)
+        white_background=model_cfg.white_background,
+        profile_dir=args.profile)
 
     if args.start_checkpoint:
         trainer.resume(args.start_checkpoint)

@@ -52,6 +52,7 @@ def make_dp_train_step(
     max_per_tile: int = 2048,
     chunk: int = 32,
     inv_depth: bool = True,
+    backend: str = "xla",
 ):
     """step(params, env, opt_state, state, cameras[B], batches[B], rays[B],
     iteration, active_sh_degree) with the B axis sharded over `axis`."""
@@ -78,7 +79,7 @@ def make_dp_train_step(
                 env_map=trainables.env, cam_rays=ray, flow_time=flow_time,
                 render_objmask=render_objmask, screen_offset=so_b,
                 active_sh_degree=active_sh_degree, inv_depth=inv_depth,
-                backend="xla", capacity=capacity,
+                backend=backend, capacity=capacity,
                 max_per_tile=max_per_tile, chunk=chunk)
             total, logs = compute_losses(
                 pkg, batch, trainables.gaussians, state, config, opt,

@@ -81,7 +81,8 @@ def _window_prep(prep: Preprocessed, local: RasterSettings,
 def _render_local_slab(prep: Preprocessed, settings: RasterSettings,
                        rows_per_dev: int, axis: str,
                        flow_points, semantic,
-                       capacity: int, max_per_tile: int, chunk: int):
+                       capacity: int, max_per_tile: int, chunk: int,
+                       backend: str = "xla"):
     """Per-device: window, bin, composite the local slab. Returns
     ([rows*TILE_Y, W_padded, CH] slab features, [rows*TILE_Y, W_padded] T)."""
     local = _local_settings(settings, rows_per_dev)
@@ -98,9 +99,14 @@ def _render_local_slab(prep: Preprocessed, settings: RasterSettings,
     features = jnp.concatenate(feats, axis=-1)
     opac = jnp.where(wprep.visible, wprep.opacity, 0.0)
 
-    out = tiled_lib.composite_tiles(
-        b, wprep.mean2d, wprep.conic, opac, features, local,
-        max_chunks=-(-max_per_tile // chunk), chunk=chunk)
+    if backend == "pallas":
+        from ..raster.pallas import render as pallas_lib
+        out = pallas_lib.composite_tiles_pallas(
+            b, wprep.mean2d, wprep.conic, opac, features, local)
+    else:
+        out = tiled_lib.composite_tiles(
+            b, wprep.mean2d, wprep.conic, opac, features, local,
+            max_chunks=-(-max_per_tile // chunk), chunk=chunk)
     # [T_local, P, CH] -> [rows*TILE_Y, W_pad, CH]
     gy, gx = local.grid_y, local.grid_x
     ch = out.blended.shape[-1]
@@ -146,6 +152,7 @@ def sharded_render_images(
     inv_depth: bool = True,
     capacity: int = 1 << 18, max_per_tile: int = 2048, chunk: int = 32,
     shard_primitives: bool = True,
+    backend: str = "xla",
 ) -> dict:
     """Full multi-device render returning the same dict as render().
 
@@ -212,7 +219,7 @@ def sharded_render_images(
                 screen_offset=screen_offset, active_mask=state.alive)
         slab, t, visible = _render_local_slab(
             prep, settings, rows_per_dev, axis, flow_points, semantic,
-            capacity, max_per_tile, chunk)
+            capacity, max_per_tile, chunk, backend=backend)
         slabs = jax.lax.all_gather(slab, axis)      # [D, rows*TY, W_pad, CH]
         ts = jax.lax.all_gather(t, axis)
         # visible anywhere -> visible (for densification stats)
@@ -281,6 +288,7 @@ def make_sharded_train_step(
     max_per_tile: int = 2048,
     chunk: int = 32,
     inv_depth: bool = True,
+    backend: str = "xla",
 ):
     """Sharded analog of train.step.make_train_step: one jitted multi-device
     program (render sharded by tile rows, losses global, grads psum'd by the
@@ -303,7 +311,7 @@ def make_sharded_train_step(
                 flow_time=flow_time, render_objmask=render_objmask,
                 screen_offset=so, active_sh_degree=active_sh_degree,
                 inv_depth=inv_depth, capacity=capacity,
-                max_per_tile=max_per_tile, chunk=chunk)
+                max_per_tile=max_per_tile, chunk=chunk, backend=backend)
             total, logs = compute_losses(
                 pkg, batch, trainables.gaussians, state, config, opt,
                 frame_gap, scene_extent)

@@ -2,9 +2,10 @@
 measures wall-clock FPS — SURVEY.md §5).
 
 - `trace(logdir)`: context manager around jax.profiler.trace; view with
-  TensorBoard's profile plugin or xprof.
-- `StepTimer`: lightweight EMA wall-clock per-step timer with a JSONL sink,
-  used by the trainer.
+  TensorBoard's profile plugin or xprof. The trainer wraps a short window
+  of steps in it when launched with --profile.
+- `StepTimer`: EMA wall-clock per-step timer; the trainer logs its
+  steps_per_sec alongside the losses.
 """
 
 from __future__ import annotations

@@ -4,14 +4,25 @@ TPU-native replacement for the reference's cub pipeline
 (rasterizer_impl.cu:70-138, 284-325):
 
   - duplicateWithKeys scatter -> a GATHER-based expansion: instance slot r
-    finds its Gaussian with searchsorted over the inclusive prefix sum of
-    tiles_touched, then derives its (tile_x, tile_y) from the slot's local
-    index inside the Gaussian's rect. Static capacity R replaces the
-    data-dependent num_rendered; overflow is reported, not hidden.
-  - the 64-bit [tileID|depth-bits] radix sort -> a stable two-key
-    `jax.lax.sort` on (tile, depth), which XLA lowers to an efficient
-    on-device sort.
+    finds its Gaussian with a scatter+cumsum inversion of the inclusive
+    prefix sum of tiles_touched, then derives its (tile_x, tile_y) from the
+    slot's local index inside the Gaussian's rect. Static capacity R
+    replaces the data-dependent num_rendered; overflow is reported, not
+    hidden.
+  - the 64-bit [tileID|depth-bits] radix sort -> a SINGLE-key u32 sort on
+    [tile_bits | depth_bits]: the tile id takes ceil(log2(num_tiles+1))
+    high bits and the depth the remaining low bits (top bits of the IEEE
+    pattern — monotonic for the positive depths that survive culling).
+    One packed key + two payloads sorts ~40% less data than the previous
+    two-key (tile, f32 depth) form. Ties within the quantized depth
+    resolve by the stable presort (gaussian-id) order, matching the
+    reference's stable radix sort semantics.
   - identifyTileRanges -> searchsorted boundaries on the sorted tile ids.
+
+The sort carries the PRESORT slot index as a payload: presort slots are
+gaussian-major (every Gaussian's instances contiguous, boundaries = the
+expansion prefix sums), which is what the backward's per-Gaussian gradient
+reduction keys on — no argsort needed downstream.
 
 Everything is integer/index math — gradients flow through the downstream
 GATHERS of per-Gaussian data, not through this module.
@@ -27,6 +38,8 @@ import jax.numpy as jnp
 from .preprocess import Preprocessed
 from .types import RasterSettings
 
+INSTANCE_ALIGN = 256  # capacity rounds up to the Pallas DMA chunk size
+
 
 class Binning(NamedTuple):
     gauss_id: jnp.ndarray     # [R] int32, sorted by (tile, depth); padding -> 0
@@ -36,10 +49,31 @@ class Binning(NamedTuple):
     tile_count: jnp.ndarray   # [T] int32 instances per tile
     num_rendered: jnp.ndarray  # scalar int32 (true count, may exceed R)
     overflow: jnp.ndarray     # scalar bool
+    slot_sorted: jnp.ndarray  # [R] int32 presort (gaussian-major) slot per
+    #                           sorted instance; padding slots hold R
+    gauss_start: jnp.ndarray  # [N] int32 exclusive prefix sum of
+    #                           tiles_touched (gaussian i's presort slots are
+    #                           [gauss_start[i], gauss_start[i]+tiles[i]))
+
+
+def depth_bits_for(num_tiles: int) -> int:
+    """Bits of IEEE-f32 depth kept in the packed sort key."""
+    tile_bits = max(int(num_tiles + 1).bit_length(), 1)
+    return 32 - tile_bits
+
+
+def quantize_depth(depth: jnp.ndarray, num_tiles: int) -> jnp.ndarray:
+    """The depth ordinal used by the packed sort key (test-oracle hook).
+
+    Top `depth_bits` of the IEEE pattern; monotonic for depth > 0."""
+    d_bits = depth_bits_for(num_tiles)
+    raw = jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.uint32)
+    return (raw >> jnp.uint32(32 - d_bits)).astype(jnp.uint32)
 
 
 def bin_gaussians(prep: Preprocessed, settings: RasterSettings,
                   capacity: int) -> Binning:
+    capacity = -(-capacity // INSTANCE_ALIGN) * INSTANCE_ALIGN
     N = prep.tiles_touched.shape[0]
     num_tiles = settings.num_tiles
     grid_x = settings.grid_x
@@ -52,11 +86,13 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings,
             valid=jnp.zeros((capacity,), dtype=bool),
             tile_start=zero_t, tile_count=zero_t,
             num_rendered=jnp.int32(0), overflow=jnp.asarray(False),
+            slot_sorted=jnp.full((capacity,), capacity, dtype=jnp.int32),
+            gauss_start=jnp.zeros((0,), dtype=jnp.int32),
         )
 
     tiles = prep.tiles_touched
     offsets = jnp.cumsum(tiles)                     # inclusive prefix sum
-    num_rendered = offsets[-1] if N > 0 else jnp.int32(0)
+    num_rendered = offsets[-1]
     overflow = num_rendered > capacity
 
     slot = jnp.arange(capacity, dtype=jnp.int32)
@@ -72,15 +108,16 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings,
     valid = slot < num_rendered
     gid = jnp.clip(gid, 0, max(N - 1, 0))
 
-    # pack the five per-gaussian lookups into one row-gather and isolate it
+    # pack the per-gaussian lookups into one row-gather and isolate it
     # with a barrier: gathers embedded in elementwise fusions fall off the
     # fast dynamic-gather path and scalarize (profiled ~10x slower)
+    d_bits = depth_bits_for(num_tiles)
+    depth_q = quantize_depth(prep.depth, num_tiles).astype(jnp.int32)
     table = jnp.stack([starts,
                        prep.rect_min[:, 0], prep.rect_min[:, 1],
-                       prep.rect_max[:, 0]], axis=-1)
+                       prep.rect_max[:, 0], depth_q], axis=-1)
     gid = jax.lax.optimization_barrier(gid)
     g_rows = jax.lax.optimization_barrier(table[gid])
-    depth = jax.lax.optimization_barrier(prep.depth[gid])
     excl = g_rows[:, 0]
     local = slot - excl
     rect_w = jnp.maximum(g_rows[:, 3] - g_rows[:, 1], 1)
@@ -91,10 +128,12 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings,
     lx = local - ly * rect_w
     ty = g_rows[:, 2] + ly
     tx = g_rows[:, 1] + lx
-    tile = jnp.where(valid, ty * grid_x + tx, num_tiles).astype(jnp.int32)
+    tile = jnp.where(valid, ty * grid_x + tx, num_tiles).astype(jnp.uint32)
+    key = (tile << jnp.uint32(d_bits)) | g_rows[:, 4].astype(jnp.uint32)
 
-    tile_s, _, gid_s = jax.lax.sort(
-        (tile, depth, gid), num_keys=2, is_stable=True)
+    key_s, gid_s, slot_s = jax.lax.sort(
+        (key, gid, slot), num_keys=1, is_stable=True)
+    tile_s = (key_s >> jnp.uint32(d_bits)).astype(jnp.int32)
     # padding slots were keyed tile == num_tiles, so they sort last and
     # validity needs no payload
     valid_s = tile_s < num_tiles
@@ -111,6 +150,8 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings,
         tile_count=tile_end - tile_start,
         num_rendered=num_rendered,
         overflow=overflow,
+        slot_sorted=jnp.where(valid_s, slot_s, capacity),
+        gauss_start=starts,
     )
 
 

@@ -7,23 +7,43 @@ from HBM — the TPU analog of renderCUDA's shared-memory staging
 (forward.cu:302-332). Early termination when every pixel in the tile is
 saturated mirrors the block-wide vote (forward.cu:308-310).
 
-Register layout (chosen so no transposes occur in the hot loop):
-  - instance blocks: [F, CHUNK] — rows are geometry/feature components,
-    CHUNK instances on lanes;
-  - alpha/weights: [P, CHUNK] — P=256 tile pixels on sublanes;
-  - per-pixel accumulators: [CHo, P] produced by
-    dot(feats [CHo,CHUNK], w [P,CHUNK], contract lanes) on the MXU.
+Layout (round-2 design): every hand-DMA'd HBM array is COMPONENT-MAJOR
+[F, R] — geometry/feature components on sublanes, instances on lanes — so
+the CHUNK-aligned dynamic slices cut the LANE axis in 128-aligned blocks
+(Mosaic requires lane-dim slice alignment to the (8,128) tiling; a
+row-major [R, 16] array cannot be hand-DMA'd in chunks at all).
+  - instance blocks: [F, CHUNK] — rows are raw geometry
+    (mx, my, ca, cb, cc, log-opacity) + features, CHUNK instances on lanes;
+  - the per-pixel Gaussian exponent is evaluated as ONE MXU matmul: power
+    is quadratic in the tile-local pixel (u, v), so
+    power[j, pix] = coef_j . [u^2, uv, v^2, u, v, 1] with per-instance
+    coefficient ROWS [8, CHUNK] built in-kernel from tile-RELATIVE means
+    (tile-local coordinates keep the quadratic terms O(3-sigma) —
+    evaluating the polynomial in global pixel coordinates would cancel
+    catastrophically in f32);
+  - alpha/weights: [CHUNK, P] — instances on sublanes, P=256 tile pixels
+    on lanes; front-to-back prefix sums are sublane-axis log-step rolls;
+  - per-pixel accumulators: [CHo, P] via dot(feats [CHo,CHUNK],
+    w [CHUNK,P], contract instances) on the MXU.
 
 The backward runs the SAME front-to-back replay (no back-to-front pass,
 no atomics): with b_j = w_j * (f_j . g) and A = sum_k b_k,
   dL/dalpha_j = T_j (f_j . g) - (A - prefixincl_j(b)) / (1 - alpha_j)
                + g_T * T_final / (1 - alpha_j)
-which needs only running prefix sums (cumsum on lanes + a carry), then
-per-instance gradient rows are DMA'd to disjoint [*, R] slices (tiles own
-disjoint instance ranges — deterministic, race-free by construction) and
-segment-summed per Gaussian outside the kernel. Equivalent math to
-backward.cu:417-646 including the accumulated-opacity path (:612) and the
-background term via the final-T cotangent (:620-623).
+(equivalent math to backward.cu:417-646 including the accumulated-opacity
+path :612 and the background term via the final-T cotangent :620-623).
+All six geometry gradients then come from ONE moment matmul
+  M^T = dot(basis [8, P], d_power^T [P, CHUNK])
+chained through the coefficient jacobian with a few [1, CHUNK] row ops.
+
+Per-instance gradient columns are DMA'd to disjoint [Gc, CHUNK] slices
+(tiles own disjoint instance ranges — deterministic, race-free by
+construction), permuted back to the PRESORT (gaussian-major) order carried
+through the sort as a payload (binning.slot_sorted) — where every
+Gaussian's instances are CONTIGUOUS, with boundaries given by the
+expansion prefix sums — and reduced per Gaussian by a membership-one-hot
+MXU matmul kernel. No argsort, no scatter-add (TPU scatter-add runs
+~500 MB/s), and ONE row-permutation gather instead of ten.
 """
 
 from __future__ import annotations
@@ -47,26 +67,31 @@ P = TILE_PIX         # 256 pixels per tile
 def _interpret() -> bool:
     """Interpreter mode off-TPU (CPU tests); compiled on real hardware."""
     return jax.default_backend() != "tpu"
+
+
 LOG_TEPS = float(np.log(1e-4))
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
+LOG_ALPHA_MAX = float(np.log(ALPHA_MAX))
+OP_FLOOR = 1e-37     # log(max(op, OP_FLOOR)) keeps dead slots finite
 
-# geometry rows in the instance buffer
-_G_MX, _G_MY, _G_CA, _G_CB, _G_CC, _G_OP = 0, 1, 2, 3, 4, 5
+# geometry columns in the instance buffer
+_G_MX, _G_MY, _G_CA, _G_CB, _G_CC, _G_LO = 0, 1, 2, 3, 4, 5
 F_GEOM = 8  # padded to a sublane tile
+N_COEF = 8  # [u^2, uv, v^2, u, v, 1, 1(logop), 0]
 
 
 def _round8(x: int) -> int:
     return -(-x // 8) * 8
 
 
-def pack_gaussian_rows(mean2d, conic, opacity, features):
+def pack_gaussian_rows(mean2d, conic, log_opacity, features):
     """[N, F] per-Gaussian row matrix (differentiable concat; F = 8 geometry
     columns + features padded to a multiple of 8)."""
     n = mean2d.shape[0]
     ch = features.shape[-1]
     F = F_GEOM + _round8(ch)
-    cols = [mean2d, conic, opacity[:, None],
+    cols = [mean2d, conic, log_opacity[:, None],
             jnp.zeros((n, 2), jnp.float32), features]
     extra = F - F_GEOM - ch
     if extra:
@@ -74,73 +99,88 @@ def pack_gaussian_rows(mean2d, conic, opacity, features):
     return jnp.concatenate(cols, axis=-1), F
 
 
-def build_aligned_instances(gauss_id, valid, tile_id, tile_start, tile_count,
-                            packed, num_tiles: int):
-    """Scatter the depth-sorted instance list into a layout where every
-    tile's range starts at a CHUNK-aligned offset (Mosaic requires provably
-    lane-tile-aligned dynamic DMA starts), then gather the per-Gaussian rows
-    in ONE row gather and lay them out feature-major for the kernel.
+def build_instances(gauss_id, packed):
+    """[F, R + CHUNK] component-major instance columns in SORTED order —
+    ONE row gather + one cheap transpose, no scatters. The kernels read
+    this array directly with CHUNK-rounded window-covering DMAs and gate
+    out-of-range columns by their global index (head columns belong to the
+    previous tile, tail columns to the next), so no aligned re-layout is
+    needed. TPU gathers/scatters run at a fixed ~75M ROWS/s regardless of
+    row width, so every eliminated per-instance pass is ~15-30 ms at
+    1M-Gaussian scale; the [R,F]->[F,R] transpose is ~3 ms.
 
-    Returns (inst [F, R_a + CHUNK], gid_aligned [R_a], ok [R_a],
-    aligned_start [T])."""
+    The trailing CHUNK pad columns duplicate Gaussian 0 (harmless — gated)
+    and keep the last window-covering DMA in bounds."""
     R = gauss_id.shape[0]
-    cap = R + num_tiles * CHUNK
-    padded = -(-tile_count // CHUNK) * CHUNK
-    ends = jnp.cumsum(padded)
-    astart = (ends - padded).astype(jnp.int32)
-
-    r = jnp.arange(R, dtype=jnp.int32)
-    t_c = jnp.clip(tile_id, 0, num_tiles - 1)
-    local = r - tile_start[t_c]
-    dest = jnp.where(valid, astart[t_c] + local, cap)
-    gid_a = jnp.zeros(cap, jnp.int32).at[dest].set(gauss_id, mode="drop")
-    ok = jnp.zeros(cap, bool).at[dest].set(True, mode="drop")
-
-    # barriers keep the gather/scatter ops on their fast standalone paths
-    # (fused into elementwise ops they scalarize; see binning.py)
-    gid_a = jax.lax.optimization_barrier(gid_a)
-    rows = jax.lax.optimization_barrier(packed[gid_a])  # [R_a, F] row gather
-    rows = jnp.where(ok[:, None], rows, 0.0)    # dead slots: alpha-gated out
-    inst = rows.T                               # [F, R_a]
-    pad = jnp.zeros((inst.shape[0], CHUNK), dtype=jnp.float32)
-    return jnp.concatenate([inst, pad], axis=1), gid_a, ok, astart
+    assert R % CHUNK == 0, f"instance capacity must be a multiple of {CHUNK}"
+    gid_ext = jnp.concatenate(
+        [gauss_id, jnp.zeros((CHUNK,), jnp.int32)])
+    # barriers keep the gather on its fast standalone path (fused into
+    # elementwise fusions it scalarizes; see binning.py)
+    gid_ext = jax.lax.optimization_barrier(gid_ext)
+    rows = jax.lax.optimization_barrier(packed[gid_ext])
+    return rows.T
 
 
-def _tile_pixels(i, grid_x: int):
-    """[P, 1] absolute pixel x and y for tile i."""
-    tx = (i % grid_x) * TILE_X
-    ty = (i // grid_x) * TILE_Y
-    pix = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-    px = (tx + pix % TILE_X).astype(jnp.float32)
-    py = (ty + pix // TILE_X).astype(jnp.float32)
-    return px, py
+def _tile_uv(i, grid_x: int):
+    """[1, P] tile-local pixel coordinates and the tile origin scalars."""
+    ox = (i % grid_x) * TILE_X
+    oy = (i // grid_x) * TILE_Y
+    pix = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    u = (pix % TILE_X).astype(jnp.float32)
+    v = (pix // TILE_X).astype(jnp.float32)
+    return u, v, ox.astype(jnp.float32), oy.astype(jnp.float32)
 
 
-def _alpha_block(geom, px, py, valid_lanes):
-    """[P, CHUNK] gated alpha from one instance block ([F, CHUNK])."""
-    mx = geom[_G_MX:_G_MX + 1, :]
-    my = geom[_G_MY:_G_MY + 1, :]
+def _basis(u, v):
+    """[8, P] quadratic pixel basis (+ the logop row, + a zero pad row)."""
+    one = jnp.ones_like(u)
+    zero = jnp.zeros_like(u)
+    return jnp.concatenate(
+        [u * u, u * v, v * v, u, v, one, one, zero], axis=0)
+
+
+def _coefs(geom, ox, oy):
+    """[8, CHUNK] tile-local polynomial coefficient rows from raw
+    component-major geometry [F, CHUNK].
+
+    power(u,v) = c0 u^2 + c1 uv + c2 v^2 + c3 u + c4 v + c5, with the means
+    re-centered on THIS tile's origin so every term stays O((3 sigma)^2 /
+    sigma^2) — f32-safe. Returns both the powerop coefficients (row 6 = log
+    opacity) and the power coefficients (row 6 = 0) so the raw-power gate
+    needs no cross-layout broadcast."""
+    mx = geom[_G_MX:_G_MX + 1, :] - ox
+    my = geom[_G_MY:_G_MY + 1, :] - oy
     ca = geom[_G_CA:_G_CA + 1, :]
     cb = geom[_G_CB:_G_CB + 1, :]
     cc = geom[_G_CC:_G_CC + 1, :]
-    op = geom[_G_OP:_G_OP + 1, :]
-    dx = mx - px            # [P, CHUNK]
-    dy = my - py
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
-    gate = (power > 0.0) | (alpha < ALPHA_MIN) | jnp.logical_not(valid_lanes)
+    lo = geom[_G_LO:_G_LO + 1, :]
+    c3 = ca * mx + cb * my
+    c4 = cc * my + cb * mx
+    c5 = -0.5 * (ca * mx * mx + cc * my * my) - cb * mx * my
+    zero = jnp.zeros_like(lo)
+    base = [-0.5 * ca, -cb, -0.5 * cc, c3, c4, c5]
+    coef_op = jnp.concatenate(base + [lo, zero], axis=0)
+    coef_p = jnp.concatenate(base + [zero, zero], axis=0)
+    return coef_op, coef_p, (mx, my, ca, cb, cc)
+
+
+def _alpha_from_powers(powerop, power, valid_rows):
+    """Gated alpha [CHUNK, P] (forward.cu:344-357 semantics)."""
+    alpha = jnp.minimum(ALPHA_MAX, jnp.exp(powerop))
+    gate = (power > 0.0) | (alpha < ALPHA_MIN) | jnp.logical_not(valid_rows)
     return jnp.where(gate, 0.0, alpha)
 
 
-def _lane_cumsum(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive cumsum along the last (lane) axis via log-step rolls —
-    Mosaic has no native cumsum. O(log n) rotate+add steps."""
-    n = x.shape[-1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+def _sub_cumsum(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumsum along the FIRST (sublane/instance) axis via log-step
+    rolls — Mosaic has no native cumsum. O(log n) rotate+add steps."""
+    n = x.shape[0]
+    sub = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     k = 1
     while k < n:
-        shifted = pltpu.roll(x, shift=k, axis=x.ndim - 1)
-        x = x + jnp.where(lane >= k, shifted, 0.0)
+        shifted = pltpu.roll(x, shift=k, axis=0)
+        x = x + jnp.where(sub >= k, shifted, 0.0)
         k *= 2
     return x
 
@@ -148,32 +188,38 @@ def _lane_cumsum(x: jnp.ndarray) -> jnp.ndarray:
 def _chunk_weights(alpha, log_t_raw, log_t_eff):
     """Replicates composite.blend_weights for one block in log space.
 
-    alpha: [P, CHUNK]; carries: [P, 1]. Returns (w, new_raw, new_eff,
-    log_t_excl_eff) with include = raw running product >= 1e-4."""
+    alpha: [CHUNK, P] front-to-back along sublanes; carries: [1, P].
+    Returns (w, new_raw, new_eff, (a_eff, log_t_excl, include)) with
+    include = raw running product >= 1e-4."""
     log1m = jnp.log1p(-alpha)
-    cum_raw = _lane_cumsum(log1m) + log_t_raw
+    cum_raw = _sub_cumsum(log1m) + log_t_raw
     include = (cum_raw >= LOG_TEPS) & (log_t_raw >= LOG_TEPS)
     a_eff = jnp.where(include, alpha, 0.0)
     log1m_eff = jnp.log1p(-a_eff)
-    cum_eff = _lane_cumsum(log1m_eff) + log_t_eff
+    cum_eff = _sub_cumsum(log1m_eff) + log_t_eff
     log_t_excl = cum_eff - log1m_eff
     w = a_eff * jnp.exp(log_t_excl)
-    return w, cum_raw[:, -1:], cum_eff[:, -1:], (a_eff, log_t_excl, include)
+    return w, cum_raw[-1:, :], cum_eff[-1:, :], (a_eff, log_t_excl, include)
 
 
 def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref,
-                buf, sem, *, grid_x: int, ch: int, f_rows: int):
+                buf, sem, *, grid_x: int, ch: int, f_cols: int):
     i = pl.program_id(0)
-    start = pl.multiple_of(tile_start[i], CHUNK)
+    start = tile_start[i]
     cnt = tile_count[i]
-    px, py = _tile_pixels(i, grid_x)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    # window-covering DMA: round the start down to the chunk tile (Mosaic
+    # needs provably aligned dynamic lane starts); head columns belong to
+    # the previous tile and are gated out by their global index below
+    start_al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+    u, v, ox, oy = _tile_uv(i, grid_x)
+    basis = _basis(u, v)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
 
-    nchunks = pl.cdiv(cnt, CHUNK)
+    nchunks = jnp.where(cnt > 0, pl.cdiv(start + cnt - start_al, CHUNK), 0)
 
     def get_dma(slot, c):
         return pltpu.make_async_copy(
-            inst_hbm.at[:, pl.ds(start + c * CHUNK, CHUNK)],
+            inst_hbm.at[:, pl.ds(start_al + c * CHUNK, CHUNK)],
             buf.at[slot], sem.at[slot])
 
     @pl.when(nchunks > 0)
@@ -192,20 +238,28 @@ def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref,
             get_dma((c + 1) % 2, c + 1).start()
 
         get_dma(c % 2, c).wait()
-        geom = buf[c % 2]
-        valid = lane < (cnt - c * CHUNK)
-        alpha = _alpha_block(geom, px, py, valid)
+        geom = buf[c % 2]                                  # [F, CHUNK]
+        pos = sub + (start_al + c * CHUNK)                 # [CHUNK, 1]
+        valid = (pos >= start) & (pos < start + cnt)
+        coef_op, coef_p, _ = _coefs(geom, ox, oy)
+        powerop = jax.lax.dot_general(
+            coef_op, basis, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [CHUNK, P]
+        power = jax.lax.dot_general(
+            coef_p, basis, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        alpha = _alpha_from_powers(powerop, power, valid)
         w, log_t_raw, log_t_eff, _ = _chunk_weights(alpha, log_t_raw,
                                                     log_t_eff)
-        feats = geom[F_GEOM:F_GEOM + ch, :]          # [CHo, CHUNK]
+        feats = geom[F_GEOM:F_GEOM + ch, :]                # [CHo, CHUNK]
         accum = accum + jax.lax.dot_general(
-            feats, w, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)       # [CHo, P]
+            feats, w, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [CHo, P]
         return c + 1, log_t_raw, log_t_eff, accum
 
     init = (jnp.int32(0),
-            jnp.zeros((P, 1), jnp.float32),
-            jnp.zeros((P, 1), jnp.float32),
+            jnp.zeros((1, P), jnp.float32),
+            jnp.zeros((1, P), jnp.float32),
             jnp.zeros((ch, P), jnp.float32))
     c_end, _, log_t_eff, accum = jax.lax.while_loop(cond, body, init)
 
@@ -216,18 +270,20 @@ def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref,
         get_dma(c_end % 2, c_end).wait()
 
     out_ref[0, :ch, :] = accum
-    out_ref[0, ch:ch + 1, :] = jnp.exp(log_t_eff).reshape(1, P)
+    out_ref[0, ch:ch + 1, :] = jnp.exp(log_t_eff)
 
 
 def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
-                grad_hbm, buf, gbuf, sem, wsem, *,
-                grid_x: int, ch: int, f_rows: int, g_rows: int):
+                grad_hbm, buf, gbuf, rbuf, sem, wsem, rsem, *,
+                grid_x: int, ch: int, f_cols: int, g_cols: int):
     del zgrad_in  # aliased to grad_hbm; zeros provide the init
     i = pl.program_id(0)
-    start = pl.multiple_of(tile_start[i], CHUNK)
+    start = tile_start[i]
     cnt = tile_count[i]
-    px, py = _tile_pixels(i, grid_x)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    start_al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+    u, v, ox, oy = _tile_uv(i, grid_x)
+    basis = _basis(u, v)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
 
     g = g_ref[0]                   # [CH+1, P] cotangents (features + final_t)
     blended = blend_ref[0]         # [CH+1, P] forward outputs
@@ -235,10 +291,9 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
     g_t = g[ch:ch + 1, :]                    # [1, P]
     # A = sum_k b_k  per pixel: sum over channels of blended*g
     a_dot_g = jnp.sum(blended[:ch, :] * g[:ch, :], axis=0, keepdims=True)
-    a_dot_g_col = a_dot_g.reshape(P, 1)      # [1,P] -> [P,1] relayout
-    gt_tfin_col = (g_t * t_final).reshape(P, 1)
+    gt_tfin = g_t * t_final                  # [1, P]
 
-    nchunks = pl.cdiv(cnt, CHUNK)
+    nchunks = jnp.where(cnt > 0, pl.cdiv(start + cnt - start_al, CHUNK), 0)
 
     def cond(state):
         c, log_t_raw, _, _ = state
@@ -246,12 +301,17 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
 
     def get_dma(slot, c):
         return pltpu.make_async_copy(
-            inst_hbm.at[:, pl.ds(start + c * CHUNK, CHUNK)],
+            inst_hbm.at[:, pl.ds(start_al + c * CHUNK, CHUNK)],
             buf.at[slot], sem.at[slot])
 
     @pl.when(nchunks > 0)
     def _():
         get_dma(0, 0).start()
+        # the first output block is SHARED with the previous tile's tail
+        # (both round into the same chunk tile); the grid is sequential, so
+        # read-add-write keeps the neighbour's columns intact — race-free
+        pltpu.make_async_copy(
+            grad_hbm.at[:, pl.ds(start_al, CHUNK)], rbuf, rsem).start()
 
     def body(state):
         c, log_t_raw, log_t_eff, prefix = state
@@ -261,70 +321,91 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
             get_dma((c + 1) % 2, c + 1).start()
 
         get_dma(c % 2, c).wait()
-        geom = buf[c % 2]
-        valid = lane < (cnt - c * CHUNK)
-        alpha = _alpha_block(geom, px, py, valid)
+        geom = buf[c % 2]                                  # [F, CHUNK]
+        pos = sub + (start_al + c * CHUNK)
+        valid = (pos >= start) & (pos < start + cnt)
+        coef_op, coef_p, (mx, my, ca, cb, cc) = _coefs(geom, ox, oy)
+        powerop = jax.lax.dot_general(
+            coef_op, basis, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [CHUNK, P]
+        power = jax.lax.dot_general(
+            coef_p, basis, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        alpha = _alpha_from_powers(powerop, power, valid)
         w, new_raw, new_eff, (a_eff, log_t_excl, include) = _chunk_weights(
             alpha, log_t_raw, log_t_eff)
 
-        feats = geom[F_GEOM:F_GEOM + ch, :]
-        # fg[j, pix] = f_j . g  -> [P, CHUNK]
+        feats = geom[F_GEOM:F_GEOM + ch, :]                # [CHo, CHUNK]
+        # fg[j, pix] = f_j . g  -> [CHUNK, P]
         fg = jax.lax.dot_general(
-            g[:ch, :], feats, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).reshape(P, CHUNK)
+            feats, g[:ch, :], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         b = w * fg
-        prefix_incl = _lane_cumsum(b) + prefix
+        prefix_incl = _sub_cumsum(b) + prefix
         t_excl = jnp.exp(log_t_excl)
         inv1m = 1.0 / (1.0 - a_eff)
         # dT_final/dalpha_j = -T_final/(1-alpha_j): the kernel's T output
         # is the transmittance itself (the wrapper forms opacity = 1 - T)
         d_alpha = (t_excl * fg
-                   - (a_dot_g_col - prefix_incl) * inv1m
-                   - gt_tfin_col * inv1m)
+                   - (a_dot_g - prefix_incl) * inv1m
+                   - gt_tfin * inv1m)
         d_alpha = jnp.where(include & (alpha > 0.0), d_alpha, 0.0)
+        # zero where the 0.99 clamp was active; alpha == exp(powerop) on the
+        # surviving (unclamped) path, so d_powerop = d_alpha * alpha exactly
+        d_powerop = jnp.where(powerop < LOG_ALPHA_MAX, d_alpha * alpha, 0.0)
 
-        # chain to instance params (zero where the 0.99 clamp was active)
-        op = geom[_G_OP:_G_OP + 1, :]
-        mx = geom[_G_MX:_G_MX + 1, :]
-        my = geom[_G_MY:_G_MY + 1, :]
-        ca = geom[_G_CA:_G_CA + 1, :]
-        cb = geom[_G_CB:_G_CB + 1, :]
-        cc = geom[_G_CC:_G_CC + 1, :]
-        dx = mx - px
-        dy = my - py
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        G = jnp.exp(power)
-        unclamped = (op * G) < ALPHA_MAX
-        d_alpha_free = jnp.where(unclamped, d_alpha, 0.0)
-        d_op = jnp.sum(d_alpha_free * G, axis=0, keepdims=True)  # [1, CHUNK]
-        d_power = d_alpha_free * op * G                          # [P, CHUNK]
-        d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True)
-        d_cb = jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True)
-        d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True)
-        d_mx = jnp.sum(d_power * (-(ca * dx + cb * dy)), axis=0, keepdims=True)
-        d_my = jnp.sum(d_power * (-(cc * dy + cb * dx)), axis=0, keepdims=True)
+        # ALL geometry gradients from one moment matmul:
+        # MT[k, j] = sum_pix basis_k * d_powerop[j]  -> [8, CHUNK]
+        MT = jax.lax.dot_general(
+            basis, d_powerop, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d_c0 = MT[0:1, :]
+        d_c1 = MT[1:2, :]
+        d_c2 = MT[2:3, :]
+        d_c3 = MT[3:4, :]
+        d_c4 = MT[4:5, :]
+        d_c5 = MT[5:6, :]
+        d_lo = MT[6:7, :]
+        # chain through the tile-local coefficient jacobian ([1,CHUNK] ops)
+        c3 = ca * mx + cb * my
+        c4 = cc * my + cb * mx
+        d_mx = ca * d_c3 + cb * d_c4 - c3 * d_c5
+        d_my = cb * d_c3 + cc * d_c4 - c4 * d_c5
+        d_ca = -0.5 * d_c0 + mx * d_c3 - 0.5 * mx * mx * d_c5
+        d_cb = -d_c1 + my * d_c3 + mx * d_c4 - mx * my * d_c5
+        d_cc = -0.5 * d_c2 + my * d_c4 - 0.5 * my * my * d_c5
         # dL/df_j = sum_pix w * g_ch  -> [CHo, CHUNK]
         d_feat = jax.lax.dot_general(
-            g[:ch, :], w, dimension_numbers=(((1,), (0,)), ((), ())),
+            g[:ch, :], w, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
         grows = jnp.concatenate(
-            [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_feat], axis=0)
-        pad_rows = g_rows - grows.shape[0]
+            [d_mx, d_my, d_ca, d_cb, d_cc, d_lo, d_feat], axis=0)
+        pad_rows = g_cols - grows.shape[0]
         if pad_rows > 0:
             grows = jnp.concatenate(
                 [grows, jnp.zeros((pad_rows, CHUNK), jnp.float32)], axis=0)
         gbuf[...] = grows
+
+        @pl.when(c == 0)
+        def _():
+            # fold in the shared boundary block (see the read DMA above);
+            # this tile's gated-out columns carry exact zeros, so the add
+            # only restores the neighbour's values
+            pltpu.make_async_copy(
+                grad_hbm.at[:, pl.ds(start_al, CHUNK)], rbuf, rsem).wait()
+            gbuf[...] = gbuf[...] + rbuf[...]
+
         wr = pltpu.make_async_copy(
-            gbuf, grad_hbm.at[:, pl.ds(start + c * CHUNK, CHUNK)], wsem)
+            gbuf, grad_hbm.at[:, pl.ds(start_al + c * CHUNK, CHUNK)], wsem)
         wr.start()
         wr.wait()
-        return c + 1, new_raw, new_eff, prefix_incl[:, -1:]
+        return c + 1, new_raw, new_eff, prefix_incl[-1:, :]
 
     init = (jnp.int32(0),
-            jnp.zeros((P, 1), jnp.float32),
-            jnp.zeros((P, 1), jnp.float32),
-            jnp.zeros((P, 1), jnp.float32))
+            jnp.zeros((1, P), jnp.float32),
+            jnp.zeros((1, P), jnp.float32),
+            jnp.zeros((1, P), jnp.float32))
     c_end, _, _, _ = jax.lax.while_loop(cond, body, init)
 
     @pl.when(c_end < nchunks)
@@ -333,33 +414,35 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
 
 
 SEG_BLK = 512    # gaussians per segment-reduce program
-SEG_C = 512      # sorted instances per DMA chunk
+SEG_C = 512      # gaussian-major instance rows per DMA chunk
 
 
-def _segreduce_kernel(blk_start, rows_hbm, out_ref, buf, sem, *,
-                      g_rows: int, n_blocks: int):
-    """Per-Gaussian reduction over gid-SORTED instance rows, scatter-free.
+def _segreduce_kernel(bounds, gm_hbm, start_ref, end_ref, out_ref,
+                      buf, sem, *, g_cols: int):
+    """Per-Gaussian reduction over gaussian-major CONTIGUOUS instance
+    columns (component-major [Gc, R_seg]).
 
-    rows_hbm: [g_rows+8, R_sorted] where the row at index g_rows holds the
-    (exact-in-f32) gaussian id of each sorted instance. Program b reduces
-    gaussians [b*SEG_BLK, (b+1)*SEG_BLK): it walks its instances' chunk
-    range and accumulates via a one-hot MATMUL — rows [G, C] x onehot
-    [BLK, C]^T -> [G, BLK] on the MXU. Chunk starts are rounded down to the
-    lane tile; out-of-block instances fall outside the one-hot and vanish,
-    which also makes the DMA alignment exact."""
+    Program b owns gaussians [b*SEG_BLK, (b+1)*SEG_BLK) whose instances
+    occupy columns [bounds[b], bounds[b+1]) (the expansion prefix sums,
+    scalar-prefetched). It walks that range in SEG_C chunks (starts rounded
+    down to the chunk tile — out-of-block columns fall outside every
+    [start_j, end_j) membership window and vanish) and accumulates
+      out[:, j] = sum_r in [start_j, end_j) cols[:, r]
+    as a membership-one-hot MXU matmul. No gid data is needed: membership
+    is two iota compares against this block's per-Gaussian start/end."""
     b = pl.program_id(0)
-    start = blk_start[b]
-    end = blk_start[b + 1]
+    start = bounds[b]
+    end = bounds[b + 1]
     start_al = pl.multiple_of((start // SEG_C) * SEG_C, SEG_C)
     nchunks = pl.cdiv(end - start_al, SEG_C)
 
-    base_gid = (b * SEG_BLK).astype(jnp.float32)
-    blk_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (SEG_BLK, 1), 0).astype(jnp.float32) + base_gid
+    g_start = start_ref[0]       # [1, SEG_BLK] first instance col per gaussian
+    g_end = end_ref[0]           # [1, SEG_BLK] one-past-last
+    pos0 = jax.lax.broadcasted_iota(jnp.int32, (SEG_C, 1), 0)
 
     def get_dma(slot, c):
         return pltpu.make_async_copy(
-            rows_hbm.at[:, pl.ds(start_al + c * SEG_C, SEG_C)],
+            gm_hbm.at[:, pl.ds(start_al + c * SEG_C, SEG_C)],
             buf.at[slot], sem.at[slot])
 
     @pl.when(nchunks > 0)
@@ -371,72 +454,68 @@ def _segreduce_kernel(blk_start, rows_hbm, out_ref, buf, sem, *,
         def _():
             get_dma((c + 1) % 2, c + 1).start()
         get_dma(c % 2, c).wait()
-        chunk = buf[c % 2]
-        gid_row = chunk[g_rows:g_rows + 1, :]          # [1, C] f32 ids
-        onehot = (blk_iota == gid_row).astype(jnp.float32)  # [BLK, C]
+        chunk = buf[c % 2]                       # [g_cols, SEG_C]
+        pos = pos0 + (start_al + c * SEG_C)      # [SEG_C, 1]
+        member = ((pos >= g_start) & (pos < g_end)).astype(jnp.float32)
         return accum + jax.lax.dot_general(
-            chunk[:g_rows, :], onehot,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)         # [G, BLK]
+            chunk, member,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [g_cols, SEG_BLK]
 
     accum = jax.lax.fori_loop(
-        0, nchunks, body, jnp.zeros((g_rows, SEG_BLK), jnp.float32))
+        0, nchunks, body, jnp.zeros((g_cols, SEG_BLK), jnp.float32))
     out_ref[...] = accum
 
 
-def segment_reduce_pallas(rows: jnp.ndarray, gid: jnp.ndarray,
-                          n_gauss: int) -> jnp.ndarray:
-    """[G, R] per-instance rows + [R] gaussian ids -> [G, n_gauss] sums.
+def segment_reduce_contiguous(cols: jnp.ndarray, gauss_start: jnp.ndarray,
+                              num_rendered: jnp.ndarray,
+                              n_gauss: int) -> jnp.ndarray:
+    """[Gc, R_seg] gaussian-major columns -> [n_gauss, Gc] per-Gaussian sums.
 
-    Scatter-free replacement for per-row segment_sum (TPU scatter-add runs
-    at ~500 MB/s; this sorts once and reduces on the MXU)."""
-    g_rows, R = rows.shape
-    perm = jnp.argsort(gid)
-    gid_sorted = gid[perm]
-    # per-row lane-layout gathers: one fused [R, G] gather materializes a
-    # transposed-minor layout and profiles ~10x slower. Barriers must wrap
-    # the gather INPUTS — a slice fused into the gather operand pushes it
-    # off the fast path just as badly (profiled 16ms/row vs 0.1ms).
-    perm = jax.lax.optimization_barrier(perm)
-    row_list = [jax.lax.optimization_barrier(rows[i]) for i in range(g_rows)]
-    rows_sorted = jnp.stack(
-        [jax.lax.optimization_barrier(r[perm]) for r in row_list]
-        + [gid_sorted.astype(jnp.float32)], axis=0)
-    # pad rows to a sublane tile and columns by a chunk
-    g_pad = _round8(g_rows + 1) - (g_rows + 1)
-    if g_pad:
-        rows_sorted = jnp.concatenate(
-            [rows_sorted, jnp.zeros((g_pad, R), jnp.float32)], axis=0)
-    rows_sorted = jnp.concatenate(
-        [rows_sorted, jnp.zeros((rows_sorted.shape[0], SEG_C), jnp.float32)
-         .at[g_rows].set(-1.0)], axis=1)
-
+    gauss_start: [N] exclusive prefix sums (binning.gauss_start); gaussian
+    i's columns are [gauss_start[i], gauss_start[i] + tiles_i), clamped to
+    the instance capacity R (overflow truncation, matching the forward)."""
+    g_cols, R_seg = cols.shape
+    R = R_seg - SEG_C            # capacity (cols carries one pad chunk)
     n_blocks = -(-n_gauss // SEG_BLK)
-    bounds = jnp.searchsorted(
-        gid_sorted, jnp.arange(0, (n_blocks + 1) * SEG_BLK, SEG_BLK,
-                               dtype=jnp.int32)).astype(jnp.int32)
+    ng_pad = n_blocks * SEG_BLK
+
+    limit = jnp.minimum(num_rendered.astype(jnp.int32), R)
+    ext = jnp.concatenate(
+        [jnp.minimum(gauss_start, limit),
+         jnp.full((ng_pad + 1 - n_gauss,), limit, jnp.int32)])
+    idx = jnp.arange(0, ng_pad + 1, SEG_BLK, dtype=jnp.int32)
+    bounds = ext[idx]
+    # [n_blocks, 1, SEG_BLK]: the unit middle axis makes the VMEM block
+    # legal under Mosaic's trailing-dims rule (block == array trailing dims)
+    starts3d = ext[:ng_pad].reshape(n_blocks, 1, SEG_BLK)
+    ends3d = ext[1:ng_pad + 1].reshape(n_blocks, 1, SEG_BLK)
 
     out = pl.pallas_call(
-        functools.partial(_segreduce_kernel, g_rows=g_rows,
-                          n_blocks=n_blocks),
+        functools.partial(_segreduce_kernel, g_cols=g_cols),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_blocks,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec((g_rows, SEG_BLK), lambda b, *_: (0, b),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, 1, SEG_BLK), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, SEG_BLK), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((g_cols, SEG_BLK), lambda b, *_: (0, b),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, rows_sorted.shape[0], SEG_C), jnp.float32),
+                pltpu.VMEM((2, g_cols, SEG_C), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((g_rows, n_blocks * SEG_BLK),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((g_cols, ng_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=_interpret(),
-    )(bounds, rows_sorted)
-    return out[:, :n_gauss]
+    )(bounds, cols, starts3d, ends3d)
+    return out[:, :n_gauss].T
 
 
 class _CompositeOut(NamedTuple):
@@ -445,13 +524,13 @@ class _CompositeOut(NamedTuple):
 
 
 def _fwd_call(inst, F, tile_start, tile_count, num_tiles, grid_x, ch):
-    kernel = functools.partial(_fwd_kernel, grid_x=grid_x, ch=ch, f_rows=F)
+    kernel = functools.partial(_fwd_kernel, grid_x=grid_x, ch=ch, f_cols=F)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(num_tiles,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((1, ch + 1, P), lambda i, *_: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
@@ -469,38 +548,40 @@ def _fwd_call(inst, F, tile_start, tile_count, num_tiles, grid_x, ch):
 
 def _bwd_call(inst, F, tile_start, tile_count, g_all, blended_all,
               num_tiles, grid_x, ch, R_pad):
-    g_rows = _round8(F_GEOM - 2 + ch)  # 6 geom grads + feat grads, padded
-    kernel = functools.partial(_bwd_kernel, grid_x=grid_x, ch=ch, f_rows=F,
-                               g_rows=g_rows)
+    g_cols = _round8(F_GEOM - 2 + ch)  # 6 geom grads + feat grads, padded
+    kernel = functools.partial(_bwd_kernel, grid_x=grid_x, ch=ch, f_cols=F,
+                               g_cols=g_cols)
     grad_inst = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(num_tiles,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((1, ch + 1, P), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, ch + 1, P), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((2, F, CHUNK), jnp.float32),
-                pltpu.VMEM((g_rows, CHUNK), jnp.float32),
+                pltpu.VMEM((g_cols, CHUNK), jnp.float32),
+                pltpu.VMEM((g_cols, CHUNK), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((g_rows, R_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((g_cols, R_pad), jnp.float32),
         input_output_aliases={3: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             has_side_effects=True),
         interpret=_interpret(),
     )(tile_start, tile_count, inst,
-      jnp.zeros((g_rows, R_pad), jnp.float32), g_all, blended_all)
+      jnp.zeros((g_cols, R_pad), jnp.float32), g_all, blended_all)
     return grad_inst
 
 
@@ -508,52 +589,87 @@ def _bwd_call(inst, F, tile_start, tile_count, g_all, blended_all,
 # custom_vjp wrapper
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def composite_pallas(mean2d, conic, opacity, features,
-                     gauss_id, inst_valid, tile_info,
-                     num_tiles, grid_x):
-    """tile_info = (tile_id [R] sorted, tile_start [T], tile_count [T])."""
-    out, _ = _composite_fwd(mean2d, conic, opacity, features, gauss_id,
-                            inst_valid, tile_info, num_tiles, grid_x)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def composite_pallas(mean2d, conic, log_opacity, features,
+                     bin_info, num_tiles, grid_x):
+    """bin_info = (gauss_id [R], slot_sorted [R], tile_start [T],
+    tile_count [T], gauss_start [N], num_rendered)."""
+    out, _ = _composite_fwd(mean2d, conic, log_opacity, features,
+                            bin_info, num_tiles, grid_x)
     return out
 
 
-def _composite_fwd(mean2d, conic, opacity, features, gauss_id, inst_valid,
-                   tile_info, num_tiles, grid_x):
+def _composite_fwd(mean2d, conic, log_opacity, features,
+                   bin_info, num_tiles, grid_x):
+    (gauss_id, slot_sorted, tile_start, tile_count,
+     gauss_start, num_rendered) = bin_info
     ch = features.shape[-1]
-    packed, F = pack_gaussian_rows(mean2d, conic, opacity, features)
-    inst, gid_a, ok, astart = build_aligned_instances(
-        gauss_id, inst_valid, tile_info[0], tile_info[1], tile_info[2],
-        packed, num_tiles)
-    out = _fwd_call(inst, F, astart, tile_info[2], num_tiles, grid_x, ch)
+    packed, F = pack_gaussian_rows(mean2d, conic, log_opacity, features)
+    inst = build_instances(gauss_id, packed)
+    out = _fwd_call(inst, F, tile_start, tile_count, num_tiles, grid_x, ch)
     result = _CompositeOut(blended=out[:, :ch, :], final_t=out[:, ch, :])
-    residuals = (inst, F, out, gid_a, astart, tile_info,
-                 mean2d.shape[0], ch)
+    residuals = (inst, F, out, slot_sorted, tile_start, tile_count,
+                 gauss_start, num_rendered, mean2d.shape[0], ch)
     return result, residuals
 
 
 def _composite_bwd(num_tiles, grid_x, residuals, g):
-    inst, F, out, gid_a, astart, tile_info, n_gauss, ch = residuals
+    (inst, F, out, slot_sorted, tile_start, tile_count,
+     gauss_start, num_rendered, n_gauss, ch) = residuals
     R_pad = inst.shape[1]
-    R_a = gid_a.shape[0]
+    R = R_pad - CHUNK  # binning capacity
     g_all = jnp.concatenate([g.blended, g.final_t[:, None, :]], axis=1)
-    grad_inst = _bwd_call(inst, F, astart, tile_info[2], g_all,
-                          out, num_tiles, grid_x, ch, R_pad)
-    # deterministic per-Gaussian reduction over duplicated instances via
-    # the scatter-free sorted one-hot-matmul kernel (TPU scatter-add is
-    # ~500 MB/s; this runs at sort+gather+MXU speed)
-    per = segment_reduce_pallas(grad_inst[:6 + ch, :R_a], gid_a, n_gauss)
-    d_mean2d = jnp.stack([per[0], per[1]], axis=-1)
-    d_conic = jnp.stack([per[2], per[3], per[4]], axis=-1)
-    d_opacity = per[5]
-    d_feat = jnp.stack([per[6 + c] for c in range(ch)], axis=-1)
+    grad_cm = _bwd_call(inst, F, tile_start, tile_count, g_all,
+                        out, num_tiles, grid_x, ch, R_pad)   # [Gc, R_pad]
+
+    # permute sorted-order grad columns back to the PRESORT gaussian-major
+    # order (instances contiguous per Gaussian) with one scatter + one ROW
+    # gather on the transposed view (TPU gathers run per-row at a fixed
+    # rate; lane-axis gathers are ~10x slower): inv[presort_slot] = sorted
+    # position. Presort slots that never rendered (overflow truncation)
+    # keep the sentinel R, pointing at the trailing pad chunk, which the
+    # kernel never writes (zero via the aliased init).
+    R_seg = -(-R // SEG_C) * SEG_C + SEG_C
+    r_s = jnp.arange(R, dtype=jnp.int32)
+    inv = jnp.full((R_seg,), R, jnp.int32).at[slot_sorted].set(
+        r_s, mode="drop")
+    inv = jax.lax.optimization_barrier(inv)
+    grad_rm = jax.lax.optimization_barrier(grad_cm).T     # [R_pad, Gc]
+    gm_rows = jax.lax.optimization_barrier(
+        jax.lax.optimization_barrier(grad_rm)[inv])       # [R_seg, Gc]
+    gm_cm = jax.lax.optimization_barrier(gm_rows).T       # [Gc, R_seg]
+
+    per = segment_reduce_contiguous(gm_cm, gauss_start, num_rendered,
+                                    n_gauss)
+    d_mean2d = per[:, 0:2]
+    d_conic = per[:, 2:5]
+    d_logop = per[:, 5]
+    d_feat = per[:, 6:6 + ch]
     f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)  # noqa: E731
-    zero_t = (f0(tile_info[0]), f0(tile_info[1]), f0(tile_info[2]))
-    return (d_mean2d, d_conic, d_opacity, d_feat,
-            f0(tile_info[0]), f0(tile_info[0]), zero_t)
+    zero_b = (f0(jnp.zeros(R, jnp.int32)), f0(jnp.zeros(R, jnp.int32)),
+              f0(tile_count), f0(tile_count), f0(gauss_start),
+              f0(num_rendered))
+    return (d_mean2d, d_conic, d_logop, d_feat, zero_b)
 
 
 composite_pallas.defvjp(_composite_fwd, _composite_bwd)
+
+
+def composite_tiles_pallas(binning: Binning, mean2d, conic, opacity,
+                           features, settings: RasterSettings):
+    """Drop-in for tiled.composite_tiles (same [T, P, CH] output layout) so
+    the sharded slab path (parallel/shard.py) can run the Pallas tier."""
+    from ..tiled import TiledImages
+    log_op = jnp.log(jnp.maximum(opacity, OP_FLOOR))
+    sg = jax.lax.stop_gradient
+    out = composite_pallas(
+        mean2d, conic, log_op, features,
+        (sg(binning.gauss_id), sg(binning.slot_sorted),
+         sg(binning.tile_start), sg(binning.tile_count),
+         sg(binning.gauss_start), sg(binning.num_rendered)),
+        settings.num_tiles, settings.grid_x)
+    return TiledImages(blended=jnp.transpose(out.blended, (0, 2, 1)),
+                       final_t=out.final_t)
 
 
 # ---------------------------------------------------------------------------
@@ -575,14 +691,17 @@ def render_pallas(prep, binning: Binning, settings: RasterSettings,
         feats.append(semantic)
     features = jnp.concatenate(feats, axis=-1)
     opac = jnp.where(prep.visible, prep.opacity, 0.0)
+    # log-space opacity feeds the polynomial exponent; the floor keeps dead
+    # (zero-opacity) slots finite — their alpha underflows past the 1/255
+    # gate, and the max() autodiff gives them exact zero gradient
+    log_op = jnp.log(jnp.maximum(opac, OP_FLOOR))
 
+    sg = jax.lax.stop_gradient
     out = composite_pallas(
-        prep.mean2d, prep.conic, opac, features,
-        jax.lax.stop_gradient(binning.gauss_id),
-        jax.lax.stop_gradient(binning.valid),
-        (jax.lax.stop_gradient(binning.tile_id),
-         jax.lax.stop_gradient(binning.tile_start),
-         jax.lax.stop_gradient(binning.tile_count)),
+        prep.mean2d, prep.conic, log_op, features,
+        (sg(binning.gauss_id), sg(binning.slot_sorted),
+         sg(binning.tile_start), sg(binning.tile_count),
+         sg(binning.gauss_start), sg(binning.num_rendered)),
         settings.num_tiles, settings.grid_x)
 
     blended = jnp.transpose(out.blended, (0, 2, 1))    # [T, P, CH]

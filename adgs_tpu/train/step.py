@@ -110,8 +110,14 @@ def make_train_step(
         crucial for the Pallas backend on TPU)."""
         binning = bin_step(params, state, camera,
                            active_sh_degree=active_sh_degree)
-        return grad_step(params, env, opt_state, state, camera, batch,
-                         cam_rays, iteration, binning,
-                         active_sh_degree=active_sh_degree)
+        params, env, opt_state, state, logs = grad_step(
+            params, env, opt_state, state, camera, batch,
+            cam_rays, iteration, binning,
+            active_sh_degree=active_sh_degree)
+        # surfaced for the trainer's instance-capacity autotuner (the
+        # reference sizes buffers exactly per frame, rasterizer_impl.cu:
+        # 284-305; here capacity is static so overflow drives growth)
+        logs = dict(logs, num_rendered=binning.num_rendered)
+        return params, env, opt_state, state, logs
 
     return step

@@ -60,6 +60,14 @@ class MetricsLogger:
             for k, v in values.items():
                 self.tb.add_scalar(f"{prefix}/{k}", float(v), step)
 
+    def image(self, step: int, tag: str, img: np.ndarray):
+        """img: [3, H, W] or [H, W] float in [0, 1] -> TensorBoard."""
+        if self.tb is None:
+            return
+        if img.ndim == 2:
+            img = np.repeat(img[None], 3, axis=0)
+        self.tb.add_image(tag, np.clip(img, 0.0, 1.0), step)
+
     def flush(self):
         self.f.flush()
         if self.tb is not None:
@@ -81,7 +89,8 @@ class Trainer:
                  inv_depth: bool = True,
                  seed: int = 0,
                  capacity_quantum: int = 4096,
-                 white_background: bool = False):
+                 white_background: bool = False,
+                 profile_dir: Optional[str] = None):
         self.scene = scene
         self.opt = opt
         self.model_path = model_path
@@ -93,7 +102,9 @@ class Trainer:
         self.white_background = white_background
         self.resolution = resolution
         self.capacity_quantum = capacity_quantum
+        self.profile_dir = profile_dir
         self.rng = random.Random(seed)
+        self.np_rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed)
 
         if order_args is None:
@@ -168,7 +179,7 @@ class Trainer:
             pts = np.concatenate(
                 [pts, t[:, None] * self.scene.scene_extent], axis=1)
         n_anchor = max(1, len(idx_alive) // K)
-        perm = np.random.permutation(len(idx_alive))[:n_anchor]
+        perm = self.np_rng.permutation(len(idx_alive))[:n_anchor]
         nn = knn.knn_indices(pts[perm], pts, k=K)
         # map back to padded slot indices; pad anchors to a stable shape
         idx = idx_alive[nn].astype(np.int32)
@@ -181,6 +192,26 @@ class Trainer:
         self.state = dataclasses.replace(
             self.state, obj_near_idx=jnp.asarray(out),
             obj_near_valid=jnp.asarray(valid))
+
+    def _maybe_grow_instance_capacity(self, num_rendered: int):
+        """Overflow-driven autotuning of the duplicated-instance capacity
+        (the reference sizes this buffer exactly per frame,
+        rasterizer_impl.cu:284-305; our static shape grows on demand with
+        one retrace). Headroom 1/0.7 so densification growth between checks
+        doesn't silently truncate tile lists."""
+        if num_rendered <= 0.9 * self.capacity:
+            return
+        q = 4096
+        new_cap = -(-int(num_rendered / 0.7) // q) * q
+        if new_cap <= self.capacity:
+            return
+        self.capacity = new_cap
+        self._step_fn = None
+        self._build_step()
+        # eval render fns bake the old capacity — drop them
+        for k in [k for k in self._frame_cache if k and k[0] == "eval"]:
+            del self._frame_cache[k]
+        print(f"[capacity] instance capacity grew to {new_cap}")
 
     def _maybe_grow_capacity(self):
         ns = int(self.state.num_scene)
@@ -209,11 +240,25 @@ class Trainer:
             self._build_step()
         self.refresh_near_idx()
 
+        from ..profiling import StepTimer, trace
+        timer = StepTimer()
+        # --profile: trace a short steady-state window (steps 20-40) so the
+        # dump stays small enough for TensorBoard's profile plugin
+        prof_window = (range(20, 40) if self.profile_dir else range(0))
+        prof_ctx = None
+
         stack: list = []
         ema = 0.0
         t_start = time.time()
         for it in range(self.iteration + 1, iterations + 1):
             self.iteration = it
+            if self.profile_dir and it == prof_window.start:
+                prof_ctx = trace(self.profile_dir)
+                prof_ctx.__enter__()
+            if prof_ctx is not None and it == prof_window.stop:
+                prof_ctx.__exit__(None, None, None)
+                prof_ctx = None
+                print(f"[profile] trace written to {self.profile_dir}")
             if it % 1000 == 0 and self.active_sh_degree < self.config.sh_degree:
                 self.active_sh_degree += 1
 
@@ -231,16 +276,20 @@ class Trainer:
                 batch = batch._replace(flow=flow_package(raw),
                                        flow_valid=jnp.asarray(True))
 
-            (self.params, self.env, self.opt_state, self.state,
-             logs) = self._step_fn(
-                self.params, self.env, self.opt_state, self.state, cam,
-                batch, rays, jnp.float32(it),
-                active_sh_degree=self.active_sh_degree)
-
-            loss = float(logs["total_loss"])
+            with timer:
+                (self.params, self.env, self.opt_state, self.state,
+                 logs) = self._step_fn(
+                    self.params, self.env, self.opt_state, self.state, cam,
+                    batch, rays, jnp.float32(it),
+                    active_sh_degree=self.active_sh_degree)
+                loss = float(logs["total_loss"])  # blocks on the step
             ema = 0.4 * loss + 0.6 * ema if it > 1 else loss
             if it % log_every == 0:
-                self.logger.scalars(it, logs)
+                self.logger.scalars(
+                    it, dict(logs, steps_per_sec=timer.steps_per_sec))
+            if it % self.opt.densification_interval == 0:
+                self._maybe_grow_instance_capacity(
+                    int(logs["num_rendered"]))
             if it % 200 == 0:
                 n = int(self.state.num_scene) + int(self.state.num_obj)
                 print(f"[{it}/{iterations}] loss={ema:.5f} pts={n} "
@@ -280,10 +329,18 @@ class Trainer:
                 self.evaluate(it)
             if it in save_iterations:
                 self.save(it)
+        if prof_ctx is not None:
+            prof_ctx.__exit__(None, None, None)
         self.logger.flush()
 
     # ------------------------------------------------------------------
-    def evaluate(self, it: int, max_frames: int = 10):
+    def evaluate(self, it: int, max_frames: int = 10, max_panels: int = 3):
+        """training_report analog (train.py:187-274): PSNR/SSIM (+LPIPS
+        when weights exist) over the test split + 5 fixed train cameras,
+        and per-frame image panels (render/gt/error/depth/opacity/
+        foreground/background/objmask) to TensorBoard."""
+        from ..ops.image import ssim as ssim_fn
+        from ..ops.lpips import lpips_fn
         key = ("eval", self.active_sh_degree)
         if key not in self._frame_cache:
             self._frame_cache[key] = render_lib.make_staged_render_fn(
@@ -292,6 +349,7 @@ class Trainer:
                 capacity=self.capacity, max_per_tile=self.max_per_tile,
                 chunk=self.chunk)
         render_fn = self._frame_cache[key]
+        lp_vgg = lpips_fn("vgg")
         # test split + 5 fixed train cameras (training_report,
         # train.py:195-199)
         configs = [("test", range(min(max_frames,
@@ -302,16 +360,50 @@ class Trainer:
         for split, idxs in configs:
             frames = (self.scene.test_frames if split == "test"
                       else self.scene.train_frames)
-            vals = []
-            for i in idxs:
+            vals: dict = {"psnr": [], "ssim": [], "lpips": []}
+            for j, i in enumerate(idxs):
                 cam, batch, _ = self._get_frame(split, i)
                 rays = self._rays_for(cam, frames[i].cam_id)
                 out = render_fn(cam, self.params, self.state, self.env, rays)
-                vals.append(float(psnr(jnp.clip(out["render"], 0, 1),
-                                       batch.image)))
-            if vals:
-                print(f"[ITER {it}] {split} PSNR {np.mean(vals):.2f}")
-                self.logger.scalars(it, {"psnr": np.mean(vals)}, prefix=split)
+                img = jnp.clip(out["render"], 0, 1)
+                vals["psnr"].append(float(psnr(img, batch.image)))
+                vals["ssim"].append(float(ssim_fn(img, batch.image)))
+                if lp_vgg is not None:
+                    vals["lpips"].append(float(lp_vgg(img, batch.image)))
+                if j < max_panels:
+                    self._log_panels(it, f"{split}_view_{i}", out, img,
+                                     batch)
+            if vals["psnr"]:
+                scalars = {"psnr": np.mean(vals["psnr"]),
+                           "ssim": np.mean(vals["ssim"])}
+                if vals["lpips"]:
+                    scalars["lpips_vgg"] = np.mean(vals["lpips"])
+                print(f"[ITER {it}] {split} "
+                      + " ".join(f"{k.upper()} {v:.3f}"
+                                 for k, v in scalars.items()))
+                self.logger.scalars(it, scalars, prefix=split)
+
+    def _log_panels(self, it: int, tag: str, out: dict, img, batch):
+        """Image panels at test iterations (train.py:236-251)."""
+        np_img = np.asarray(img)
+        self.logger.image(it, f"{tag}/render", np_img)
+        self.logger.image(it, f"{tag}/ground_truth",
+                          np.asarray(batch.image))
+        self.logger.image(it, f"{tag}/error",
+                          np.abs(np_img - np.asarray(batch.image)))
+        depth = np.asarray(out["depth"])
+        dmax = depth.max()
+        self.logger.image(it, f"{tag}/depth",
+                          depth / dmax if dmax > 0 else depth)
+        self.logger.image(it, f"{tag}/opacity",
+                          np.asarray(out["img_opacity"]))
+        self.logger.image(it, f"{tag}/foreground",
+                          np.asarray(out["foreground"]))
+        self.logger.image(it, f"{tag}/background",
+                          np.asarray(out["background"]))
+        if out.get("img_semantic") is not None:
+            self.logger.image(it, f"{tag}/objmask",
+                              np.asarray(out["img_semantic"])[0])
 
     def resume(self, path: str):
         """True mid-training resume from a train_state.npz snapshot (the

@@ -31,6 +31,68 @@ BACKEND = os.environ.get("BENCH_BACKEND", "pallas")
 CAPACITY = int(os.environ.get("BENCH_CAPACITY", 2_000_000))
 MAX_PER_TILE = int(os.environ.get("BENCH_MAX_PER_TILE", 4096))
 CHUNK = int(os.environ.get("BENCH_CHUNK", 64))
+# second phase: the trainer-shaped step (deform, flow+semantic channels,
+# full loss assembly, Adam) — the end-to-end number that matters for
+# training, and the only place the 8-channel Pallas layout runs COMPILED
+# on real TPU (round-1 gap: flow/semantic channels only ever interpreted)
+BENCH_TRAIN = int(os.environ.get("BENCH_TRAIN", 1))
+TRAIN_N_GAUSS = int(os.environ.get("BENCH_TRAIN_N_GAUSS", N_GAUSS))
+
+
+def bench_train_step():
+    """Full train-step it/s: spline deformation, 8-channel render
+    (rgb+depth+flow+objmask), loss assembly, Adam, densify stats."""
+    import jax
+    import jax.numpy as jnp
+    import __graft_entry__ as ge
+    from adgs_tpu.ops.flow import FlowPackage
+    from adgs_tpu.train.config import OptimizationConfig
+    from adgs_tpu.train.losses import FrameBatch
+    from adgs_tpu.train.optim import TrainableState, init_adam
+    from adgs_tpu.train.step import make_train_step
+
+    params, state, cfg, cam, env, rays = ge._build_scene(
+        n_points=TRAIN_N_GAUSS, width=WIDTH, height=HEIGHT,
+        quantum=max(4096, TRAIN_N_GAUSS // 64))
+    opt = OptimizationConfig()
+    step = make_train_step(
+        cfg, opt, frame_gap=1.0 / 60, scene_extent=20.0,
+        cameras_extent=10.0, capacity=CAPACITY,
+        max_per_tile=MAX_PER_TILE, chunk=CHUNK, backend=BACKEND)
+    rng = np.random.default_rng(1)
+    fx = 0.5 * WIDTH / np.tan(0.6)
+    K = np.array([[fx, 0, WIDTH / 2], [0, fx, HEIGHT / 2], [0, 0, 1]],
+                 np.float32)
+    batch = FrameBatch(
+        image=jnp.asarray(rng.uniform(size=(3, HEIGHT, WIDTH)),
+                          dtype=jnp.float32),
+        depth=jnp.ones((HEIGHT, WIDTH), jnp.float32),
+        sky=jnp.zeros((HEIGHT, WIDTH), jnp.float32),
+        semantic=jnp.asarray(rng.random((HEIGHT, WIDTH)) < 0.3,
+                             dtype=jnp.float32),
+        flow=FlowPackage(
+            time=jnp.float32(0.35), K=jnp.asarray(K),
+            R=jnp.eye(3, dtype=jnp.float32),
+            T=jnp.zeros(3, jnp.float32),
+            flow=jnp.asarray(rng.uniform(size=(2, HEIGHT, WIDTH)),
+                             dtype=jnp.float32) * WIDTH,
+            vis=jnp.ones((HEIGHT, WIDTH), jnp.float32)),
+        flow_valid=jnp.asarray(True))
+    opt_state = init_adam(TrainableState(gaussians=params, env=env))
+
+    out = step(params, env, opt_state, state, cam, batch, rays,
+               jnp.float32(1000), active_sh_degree=3)
+    jax.block_until_ready(out)
+    iters = max(ITERS // 2, 3)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(params, env, opt_state, state, cam, batch, rays,
+                   jnp.float32(1000), active_sh_degree=3)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    loss = float(out[-1]["total_loss"])
+    assert np.isfinite(loss), f"train bench loss not finite: {loss}"
+    return iters / dt, loss
 
 
 def main():
@@ -131,10 +193,18 @@ def main():
         "unit": "pixels/s",
         "vs_baseline": round(pix_per_s / A100_BASELINE_PIX_S, 4),
     }
-    print(json.dumps(result))
     print(f"# {N_GAUSS} gaussians, {WIDTH}x{HEIGHT}, {ITERS} iters in "
           f"{dt:.3f}s ({ITERS/dt:.2f} it/s), backend={BACKEND}, "
           f"loss={float(loss):.5f}", file=sys.stderr)
+    if BENCH_TRAIN:
+        train_it_s, train_loss = bench_train_step()
+        result["train_step_it_per_sec"] = round(train_it_s, 3)
+        result["train_step_pixels_per_sec"] = round(
+            train_it_s * WIDTH * HEIGHT, 1)
+        print(f"# train-shaped step: {train_it_s:.2f} it/s at "
+              f"{TRAIN_N_GAUSS} gaussians, loss={train_loss:.5f}",
+              file=sys.stderr)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -140,3 +140,40 @@ class TestCLI:
         assert os.path.exists(os.path.join(out, "results.json"))
         res = json.load(open(os.path.join(out, "results.json")))
         assert "PSNR" in res["ours_12"]
+
+
+class TestCapacityAutotune:
+    def test_overflow_grows_instance_capacity(self, tmp_path):
+        """Undersized instance capacity must be detected from
+        Binning.num_rendered and grown (with a retrace) rather than
+        silently truncating tile lists (rasterizer_impl.cu:284-305
+        exact-sizing analog)."""
+        from adgs_tpu.data.readers import read_scene
+        from adgs_tpu.train.config import OptimizationConfig
+        from adgs_tpu.train.trainer import Trainer
+        from adgs_tpu import render as render_lib
+
+        root = make_kitti_scene(str(tmp_path / "scene"), width=64, height=48)
+        scene = read_scene(root)
+        opt = OptimizationConfig(
+            iterations=4, densification_interval=2, lambda_flow=0.0,
+            lambda_reg=0.0, lambda_sigma_reg=0.0, densify_from_iter=100)
+        tr = Trainer(scene, opt, str(tmp_path / "out"), capacity=512,
+                     env_resolution=32, capacity_quantum=1024,
+                     order_args=dict(xyz=[4, 2, 0, 2, 0, 0],
+                                     rotation=[0, 0, 0, 0, 4, 2],
+                                     shs=[0, 0, 0, 2, 0, 0],
+                                     background=[0, 0, 0, 0, 0, 0]))
+        assert tr.capacity == 512
+        tr.train(iterations=4, save_iterations=[], test_iterations=[])
+        grown = tr.capacity
+        assert grown > 512, "overflowed capacity was not grown"
+
+        # the grown capacity must render identically to a generous one
+        cam, _, _ = tr._get_frame("train", 0)
+        out_g = render_lib.render(cam, tr.params, tr.state, tr.config,
+                                  capacity=grown, max_per_tile=512)
+        out_big = render_lib.render(cam, tr.params, tr.state, tr.config,
+                                    capacity=1 << 15, max_per_tile=512)
+        np.testing.assert_allclose(out_g["render"], out_big["render"],
+                                   rtol=1e-5, atol=1e-5)

@@ -28,14 +28,16 @@ def mesh():
 
 
 class TestShardedRender:
-    def test_matches_single_device(self, rng, mesh):
+    @pytest.mark.parametrize("backend", ["xla", "pallas"])
+    def test_matches_single_device(self, rng, mesh, backend):
         params, state, cfg, _ = tiny_model(rng, n=150, quantum=128)
         cam = fx.make_camera(width=64, height=80, time=0.3)
 
         single = render_lib.render(cam, params, state, cfg,
                                    capacity=1 << 14, max_per_tile=256)
         sharded = sharded_render_images(params, state, cfg, cam, mesh,
-                                        capacity=1 << 13, max_per_tile=256)
+                                        capacity=1 << 13, max_per_tile=256,
+                                        backend=backend)
         np.testing.assert_allclose(sharded["render"], single["render"],
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(sharded["depth"], single["depth"],
@@ -44,7 +46,8 @@ class TestShardedRender:
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_array_equal(sharded["radii"], single["radii"])
 
-    def test_grads_match_single_device(self, rng, mesh):
+    @pytest.mark.parametrize("backend", ["xla", "pallas"])
+    def test_grads_match_single_device(self, rng, mesh, backend):
         params, state, cfg, _ = tiny_model(rng, n=80, quantum=128)
         cam = fx.make_camera(width=48, height=48, time=0.2)
         target = jnp.asarray(rng.uniform(size=(3, 48, 48)), dtype=jnp.float32)
@@ -56,7 +59,8 @@ class TestShardedRender:
 
         def loss_sharded(p):
             out = sharded_render_images(p, state, cfg, cam, mesh,
-                                        capacity=1 << 12, max_per_tile=256)
+                                        capacity=1 << 12, max_per_tile=256,
+                                        backend=backend)
             return jnp.mean(jnp.abs(out["render"] - target))
 
         g1 = jax.grad(loss_single)(params)
