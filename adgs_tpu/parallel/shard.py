@@ -67,7 +67,7 @@ def _window_prep(prep: Preprocessed, local: RasterSettings,
     shift = jnp.stack([jnp.zeros_like(row0_tiles),
                        row0_tiles * TILE_Y]).astype(jnp.float32)
     mean2d = prep.mean2d - shift[None, :]
-    rect_min, rect_max = prep_lib.get_rect(mean2d, prep.radii,
+    rect_min, rect_max = prep_lib.get_rect(mean2d, prep.extent,
                                            local.grid_x, local.grid_y)
     tiles = ((rect_max[..., 0] - rect_min[..., 0])
              * (rect_max[..., 1] - rect_min[..., 1]))

@@ -27,19 +27,31 @@ class Preprocessed(NamedTuple):
     opacity: jnp.ndarray       # [N] per-Gaussian opacity
     rgb: jnp.ndarray           # [N,3] SH-evaluated (clamped) colors
     radii: jnp.ndarray         # [N] float pixel radius (0 = culled)
+    extent: jnp.ndarray        # [N,2] per-axis 3-sigma half extents (px)
     rect_min: jnp.ndarray      # [N,2] int32 tile rect (x, y) inclusive
     rect_max: jnp.ndarray      # [N,2] int32 tile rect (x, y) exclusive
     tiles_touched: jnp.ndarray  # [N] int32
     visible: jnp.ndarray       # [N] bool (radius > 0 and in frustum)
 
 
-def get_rect(mean2d: jnp.ndarray, radius: jnp.ndarray,
+def get_rect(mean2d: jnp.ndarray, extent: jnp.ndarray,
              grid_x: int, grid_y: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Tile rectangle per Gaussian (auxiliary.h:46-57 getRect)."""
-    rmin_x = jnp.clip(((mean2d[..., 0] - radius) / TILE_X).astype(jnp.int32), 0, grid_x)
-    rmin_y = jnp.clip(((mean2d[..., 1] - radius) / TILE_Y).astype(jnp.int32), 0, grid_y)
-    rmax_x = jnp.clip(((mean2d[..., 0] + radius + TILE_X - 1) / TILE_X).astype(jnp.int32), 0, grid_x)
-    rmax_y = jnp.clip(((mean2d[..., 1] + radius + TILE_Y - 1) / TILE_Y).astype(jnp.int32), 0, grid_y)
+    """Tile rectangle per Gaussian from per-axis half extents.
+
+    The reference's getRect (auxiliary.h:46-57) uses the isotropic
+    3*sqrt(lambda_max) radius; we use the exact axis-aligned bounding box
+    of the 3-sigma ellipse (rx = 3*sqrt(cov_xx), ry = 3*sqrt(cov_yy)) —
+    strictly tighter for anisotropic Gaussians, cutting the duplicated
+    instance count every per-instance pipeline stage scales with. Pixels
+    beyond 3 sigma carry alpha < op*exp(-4.5); dropping the square-rect
+    corners only removes that sub-1.2% tail the 3-sigma cutoff already
+    declares negligible."""
+    rx = extent[..., 0]
+    ry = extent[..., 1]
+    rmin_x = jnp.clip(((mean2d[..., 0] - rx) / TILE_X).astype(jnp.int32), 0, grid_x)
+    rmin_y = jnp.clip(((mean2d[..., 1] - ry) / TILE_Y).astype(jnp.int32), 0, grid_y)
+    rmax_x = jnp.clip(((mean2d[..., 0] + rx + TILE_X - 1) / TILE_X).astype(jnp.int32), 0, grid_x)
+    rmax_y = jnp.clip(((mean2d[..., 1] + ry + TILE_Y - 1) / TILE_Y).astype(jnp.int32), 0, grid_y)
     return (jnp.stack([rmin_x, rmin_y], axis=-1),
             jnp.stack([rmax_x, rmax_y], axis=-1))
 
@@ -83,7 +95,10 @@ def preprocess(
         settings.focal_x, settings.focal_y, settings.tanfovx, settings.tanfovy)
 
     radius = c2.radius
-    rect_min, rect_max = get_rect(mean2d, radius, settings.grid_x, settings.grid_y)
+    # exact AABB of the 3-sigma ellipse: lambda_max >= max(cov_xx, cov_yy),
+    # so these per-axis extents are always <= the isotropic radius
+    extent = 3.0 * jnp.sqrt(jnp.maximum(c2.cov[..., 0::2], 0.0))
+    rect_min, rect_max = get_rect(mean2d, extent, settings.grid_x, settings.grid_y)
     tiles = ((rect_max[..., 0] - rect_min[..., 0])
              * (rect_max[..., 1] - rect_min[..., 1]))
 
@@ -108,6 +123,7 @@ def preprocess(
         opacity=opacities,
         rgb=rgb,
         radii=radius,
+        extent=extent,
         rect_min=rect_min,
         rect_max=rect_max,
         tiles_touched=tiles_touched,

@@ -105,9 +105,13 @@ class TestBinning:
     def test_overflow_flag(self, rng):
         cam = fx.make_camera()
         st = fx.settings_from_camera(cam)
-        g = fx.make_gaussians(rng, n=150)
+        g = fx.make_gaussians(rng, n=400)
         prep = preprocess.preprocess(g["means3d"], g["scales"], g["rotations"],
                                      g["opacities"], g["shs"], st)
+        # requested capacity rounds up to INSTANCE_ALIGN; the true instance
+        # count must exceed that for the overflow flag to fire
+        big = binning_lib.bin_gaussians(prep, st, capacity=16384)
+        assert int(big.num_rendered) > binning_lib.INSTANCE_ALIGN
         b = binning_lib.bin_gaussians(prep, st, capacity=4)
         assert bool(b.overflow)
 
