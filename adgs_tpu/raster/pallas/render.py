@@ -60,7 +60,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ..binning import Binning
 from ..types import RasterSettings, TILE_X, TILE_Y, TILE_PIX
 
-CHUNK = 256          # instances per DMA block
+import os as _os
+
+# instances per DMA block (env override for perf sweeps; capacity is
+# 4096-quantized so any power of two <= 4096 divides it)
+CHUNK = int(_os.environ.get("ADGS_PALLAS_CHUNK", 256))
 P = TILE_PIX         # 256 pixels per tile
 
 
@@ -86,8 +90,14 @@ def _round8(x: int) -> int:
 
 
 def pack_gaussian_rows(mean2d, conic, log_opacity, features):
-    """[N, F] per-Gaussian row matrix (differentiable concat; F = 8 geometry
-    columns + features padded to a multiple of 8)."""
+    """[N, F] per-Gaussian row matrix (differentiable concat; F = 8
+    geometry columns + features padded to a multiple of 8).
+
+    Measured (exp/lab_build.py): a many-piece concat into >=128-lane rows
+    costs ~10ms at N=1M (per-piece lane-offset passes), while this narrow
+    form is free — so the build stays narrow even though a 128-wide row
+    would put the gather on the DMA fast path; the wide trick only pays on
+    the gradient side, where the pad is a single-piece concat."""
     n = mean2d.shape[0]
     ch = features.shape[-1]
     F = F_GEOM + _round8(ch)
@@ -99,15 +109,13 @@ def pack_gaussian_rows(mean2d, conic, log_opacity, features):
     return jnp.concatenate(cols, axis=-1), F
 
 
-def build_instances(gauss_id, packed):
+def build_instances(gauss_id, packed, F: int):
     """[F, R + CHUNK] component-major instance columns in SORTED order —
-    ONE row gather + one cheap transpose, no scatters. The kernels read
-    this array directly with CHUNK-rounded window-covering DMAs and gate
-    out-of-range columns by their global index (head columns belong to the
-    previous tile, tail columns to the next), so no aligned re-layout is
-    needed. TPU gathers/scatters run at a fixed ~75M ROWS/s regardless of
-    row width, so every eliminated per-instance pass is ~15-30 ms at
-    1M-Gaussian scale; the [R,F]->[F,R] transpose is ~3 ms.
+    ONE row gather + one transpose (fused into the gather's output pass),
+    no scatters. The kernels read this array directly with CHUNK-rounded
+    window-covering DMAs and gate out-of-range columns by their global
+    index (head columns belong to the previous tile, tail columns to the
+    next), so no aligned re-layout is needed.
 
     The trailing CHUNK pad columns duplicate Gaussian 0 (harmless — gated)
     and keep the last window-covering DMA in bounds."""
@@ -118,7 +126,7 @@ def build_instances(gauss_id, packed):
     # barriers keep the gather on its fast standalone path (fused into
     # elementwise fusions it scalarizes; see binning.py)
     gid_ext = jax.lax.optimization_barrier(gid_ext)
-    rows = jax.lax.optimization_barrier(packed[gid_ext])
+    rows = jax.lax.optimization_barrier(packed[gid_ext])   # [R_pad, F]
     return rows.T
 
 
@@ -146,9 +154,12 @@ def _coefs(geom, ox, oy):
 
     power(u,v) = c0 u^2 + c1 uv + c2 v^2 + c3 u + c4 v + c5, with the means
     re-centered on THIS tile's origin so every term stays O((3 sigma)^2 /
-    sigma^2) — f32-safe. Returns both the powerop coefficients (row 6 = log
-    opacity) and the power coefficients (row 6 = 0) so the raw-power gate
-    needs no cross-layout broadcast."""
+    sigma^2) — f32-safe. Row 6 of the powerop coefficients carries the
+    log opacity (yielding powerop); a second matmul against the same basis
+    with a zero row 6 yields the raw power for the numerical-noise gate.
+    (Deriving power as powerop - lo was tried and is SLOWER: the [1,CHUNK]
+    -> [CHUNK,1] relayout per chunk costs more than the extra matmul,
+    which pipelines on the already-loaded basis operand.)"""
     mx = geom[_G_MX:_G_MX + 1, :] - ox
     my = geom[_G_MY:_G_MY + 1, :] - oy
     ca = geom[_G_CA:_G_CA + 1, :]
@@ -385,7 +396,23 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
         if pad_rows > 0:
             grows = jnp.concatenate(
                 [grows, jnp.zeros((pad_rows, CHUNK), jnp.float32)], axis=0)
-        gbuf[...] = grows
+
+        # double-buffered grad writes: drain the write issued two chunks
+        # ago on this slot before overwriting it, then fire-and-forget —
+        # a write wait per chunk serializes the loop on the DMA latency
+        s = c % 2
+
+        def put_dma(slot, cc):
+            return pltpu.make_async_copy(
+                gbuf.at[slot],
+                grad_hbm.at[:, pl.ds(start_al + cc * CHUNK, CHUNK)],
+                wsem.at[slot])
+
+        @pl.when(c >= 2)
+        def _():
+            put_dma(s, c - 2).wait()
+
+        gbuf[s] = grows
 
         @pl.when(c == 0)
         def _():
@@ -394,12 +421,9 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
             # only restores the neighbour's values
             pltpu.make_async_copy(
                 grad_hbm.at[:, pl.ds(start_al, CHUNK)], rbuf, rsem).wait()
-            gbuf[...] = gbuf[...] + rbuf[...]
+            gbuf[0] = gbuf[0] + rbuf[...]
 
-        wr = pltpu.make_async_copy(
-            gbuf, grad_hbm.at[:, pl.ds(start_al + c * CHUNK, CHUNK)], wsem)
-        wr.start()
-        wr.wait()
+        put_dma(s, c).start()
         return c + 1, new_raw, new_eff, prefix_incl[-1:, :]
 
     init = (jnp.int32(0),
@@ -411,6 +435,23 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
     @pl.when(c_end < nchunks)
     def _():
         get_dma(c_end % 2, c_end).wait()
+
+    # drain the (up to two) writes still in flight BEFORE returning: the
+    # grid is sequential and the next tile's boundary read may target this
+    # tile's last chunk
+    def put_dma_end(cc):
+        return pltpu.make_async_copy(
+            gbuf.at[cc % 2],
+            grad_hbm.at[:, pl.ds(start_al + cc * CHUNK, CHUNK)],
+            wsem.at[cc % 2])
+
+    @pl.when(c_end >= 2)
+    def _():
+        put_dma_end(c_end - 2).wait()
+
+    @pl.when(c_end >= 1)
+    def _():
+        put_dma_end(c_end - 1).wait()
 
 
 SEG_BLK = 512    # gaussians per segment-reduce program
@@ -567,10 +608,10 @@ def _bwd_call(inst, F, tile_start, tile_count, g_all, blended_all,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((2, F, CHUNK), jnp.float32),
-                pltpu.VMEM((g_cols, CHUNK), jnp.float32),
+                pltpu.VMEM((2, g_cols, CHUNK), jnp.float32),
                 pltpu.VMEM((g_cols, CHUNK), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
@@ -589,33 +630,37 @@ def _bwd_call(inst, F, tile_start, tile_count, g_all, blended_all,
 # custom_vjp wrapper
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def composite_pallas(mean2d, conic, log_opacity, features,
-                     bin_info, num_tiles, grid_x):
-    """bin_info = (gauss_id [R], slot_sorted [R], tile_start [T],
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def composite_packed(packed, bin_info, ch, num_tiles, grid_x):
+    """Composite from pre-packed Gaussian rows (pack_gaussian_rows).
+
+    The custom_vjp boundary speaks ONE wide [N, 128] array in each
+    direction: narrow [N, 2]/[N, 3] args and grads would each materialize
+    128-lane padded HBM buffers at this boundary (64x bloat); packing and
+    unpacking happen in caller-side fusions instead.
+
+    bin_info = (gauss_id [R], slot_sorted [R], tile_start [T],
     tile_count [T], gauss_start [N], num_rendered)."""
-    out, _ = _composite_fwd(mean2d, conic, log_opacity, features,
-                            bin_info, num_tiles, grid_x)
+    out, _ = _composite_fwd(packed, bin_info, ch, num_tiles, grid_x)
     return out
 
 
-def _composite_fwd(mean2d, conic, log_opacity, features,
-                   bin_info, num_tiles, grid_x):
+def _composite_fwd(packed, bin_info, ch, num_tiles, grid_x):
     (gauss_id, slot_sorted, tile_start, tile_count,
      gauss_start, num_rendered) = bin_info
-    ch = features.shape[-1]
-    packed, F = pack_gaussian_rows(mean2d, conic, log_opacity, features)
-    inst = build_instances(gauss_id, packed)
+    F = F_GEOM + _round8(ch)
+    inst = build_instances(gauss_id, packed, F)
     out = _fwd_call(inst, F, tile_start, tile_count, num_tiles, grid_x, ch)
     result = _CompositeOut(blended=out[:, :ch, :], final_t=out[:, ch, :])
-    residuals = (inst, F, out, slot_sorted, tile_start, tile_count,
-                 gauss_start, num_rendered, mean2d.shape[0], ch)
+    residuals = (inst, out, slot_sorted, tile_start, tile_count,
+                 gauss_start, num_rendered, packed.shape[0])
     return result, residuals
 
 
-def _composite_bwd(num_tiles, grid_x, residuals, g):
-    (inst, F, out, slot_sorted, tile_start, tile_count,
-     gauss_start, num_rendered, n_gauss, ch) = residuals
+def _composite_bwd(ch, num_tiles, grid_x, residuals, g):
+    (inst, out, slot_sorted, tile_start, tile_count,
+     gauss_start, num_rendered, n_gauss) = residuals
+    F = inst.shape[0]
     R_pad = inst.shape[1]
     R = R_pad - CHUNK  # binning capacity
     g_all = jnp.concatenate([g.blended, g.final_t[:, None, :]], axis=1)
@@ -623,36 +668,47 @@ def _composite_bwd(num_tiles, grid_x, residuals, g):
                         out, num_tiles, grid_x, ch, R_pad)   # [Gc, R_pad]
 
     # permute sorted-order grad columns back to the PRESORT gaussian-major
-    # order (instances contiguous per Gaussian) with one scatter + one ROW
-    # gather on the transposed view (TPU gathers run per-row at a fixed
-    # rate; lane-axis gathers are ~10x slower): inv[presort_slot] = sorted
-    # position. Presort slots that never rendered (overflow truncation)
-    # keep the sentinel R, pointing at the trailing pad chunk, which the
-    # kernel never writes (zero via the aliased init).
+    # order (instances contiguous per Gaussian). Two fast-path tricks
+    # (PERF.md round-2 measurements):
+    #   - narrow-row gathers crawl at ~80M rows/s while 128-lane f32 rows
+    #     ride a ~300 GB/s DMA path, and a [*,16] f32 array is already
+    #     PHYSICALLY 128 lanes in HBM — so transpose+pad to [R_pad, 128],
+    #     gather, slice (19.7ms vs 58ms for the scatter+T+gather+T chain);
+    #   - the inverse permutation comes from a 1-key sort (3.9ms vs 13.6ms
+    #     for a scatter-set): slot_sorted holds every rendered presort slot
+    #     exactly once (sentinel R for padding, sorting last), so sorting
+    #     it ascending with a position payload yields at position p the
+    #     SORTED index of presort slot p. Never-rendered slots land on
+    #     positions the kernel never wrote (zeros via the aliased init).
+    g_cols = grad_cm.shape[0]
     R_seg = -(-R // SEG_C) * SEG_C + SEG_C
-    r_s = jnp.arange(R, dtype=jnp.int32)
-    inv = jnp.full((R_seg,), R, jnp.int32).at[slot_sorted].set(
-        r_s, mode="drop")
+    _, inv = jax.lax.sort(
+        (slot_sorted, jnp.arange(R, dtype=jnp.int32)), num_keys=1,
+        is_stable=False)
+    inv = jnp.concatenate([inv, jnp.full((R_seg - R,), R, jnp.int32)])
+    grad_rm = jnp.pad(grad_cm.T, ((0, 0), (0, max(0, 128 - g_cols))))
     inv = jax.lax.optimization_barrier(inv)
-    grad_rm = jax.lax.optimization_barrier(grad_cm).T     # [R_pad, Gc]
     gm_rows = jax.lax.optimization_barrier(
-        jax.lax.optimization_barrier(grad_rm)[inv])       # [R_seg, Gc]
-    gm_cm = jax.lax.optimization_barrier(gm_rows).T       # [Gc, R_seg]
+        jax.lax.optimization_barrier(grad_rm)[inv])       # [R_seg, 128]
+    gm_cm = jax.lax.optimization_barrier(gm_rows)[:, :g_cols].T
 
     per = segment_reduce_contiguous(gm_cm, gauss_start, num_rendered,
                                     n_gauss)
-    d_mean2d = per[:, 0:2]
-    d_conic = per[:, 2:5]
-    d_logop = per[:, 5]
-    d_feat = per[:, 6:6 + ch]
+    # re-expand the reduced [6 geom + ch] gradient columns into the packed
+    # row layout (cols 6:8 are the geometry pad)
+    pieces = [per[:, 0:6], jnp.zeros((n_gauss, 2), jnp.float32),
+              per[:, 6:6 + ch]]
+    if F - F_GEOM - ch:
+        pieces.append(jnp.zeros((n_gauss, F - F_GEOM - ch), jnp.float32))
+    d_packed = jnp.concatenate(pieces, axis=-1)
     f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)  # noqa: E731
     zero_b = (f0(jnp.zeros(R, jnp.int32)), f0(jnp.zeros(R, jnp.int32)),
               f0(tile_count), f0(tile_count), f0(gauss_start),
               f0(num_rendered))
-    return (d_mean2d, d_conic, d_logop, d_feat, zero_b)
+    return (d_packed, zero_b)
 
 
-composite_pallas.defvjp(_composite_fwd, _composite_bwd)
+composite_packed.defvjp(_composite_fwd, _composite_bwd)
 
 
 def composite_tiles_pallas(binning: Binning, mean2d, conic, opacity,
@@ -661,13 +717,14 @@ def composite_tiles_pallas(binning: Binning, mean2d, conic, opacity,
     the sharded slab path (parallel/shard.py) can run the Pallas tier."""
     from ..tiled import TiledImages
     log_op = jnp.log(jnp.maximum(opacity, OP_FLOOR))
+    packed, _ = pack_gaussian_rows(mean2d, conic, log_op, features)
     sg = jax.lax.stop_gradient
-    out = composite_pallas(
-        mean2d, conic, log_op, features,
+    out = composite_packed(
+        packed,
         (sg(binning.gauss_id), sg(binning.slot_sorted),
          sg(binning.tile_start), sg(binning.tile_count),
          sg(binning.gauss_start), sg(binning.num_rendered)),
-        settings.num_tiles, settings.grid_x)
+        features.shape[-1], settings.num_tiles, settings.grid_x)
     return TiledImages(blended=jnp.transpose(out.blended, (0, 2, 1)),
                        final_t=out.final_t)
 
@@ -695,14 +752,15 @@ def render_pallas(prep, binning: Binning, settings: RasterSettings,
     # (zero-opacity) slots finite — their alpha underflows past the 1/255
     # gate, and the max() autodiff gives them exact zero gradient
     log_op = jnp.log(jnp.maximum(opac, OP_FLOOR))
+    packed, _ = pack_gaussian_rows(prep.mean2d, prep.conic, log_op, features)
 
     sg = jax.lax.stop_gradient
-    out = composite_pallas(
-        prep.mean2d, prep.conic, log_op, features,
+    out = composite_packed(
+        packed,
         (sg(binning.gauss_id), sg(binning.slot_sorted),
          sg(binning.tile_start), sg(binning.tile_count),
          sg(binning.gauss_start), sg(binning.num_rendered)),
-        settings.num_tiles, settings.grid_x)
+        features.shape[-1], settings.num_tiles, settings.grid_x)
 
     blended = jnp.transpose(out.blended, (0, 2, 1))    # [T, P, CH]
     t_final = out.final_t                              # [T, P]

@@ -67,9 +67,11 @@ def compute_binning(
     settings = settings_for_camera(camera, sh_degree, inv_depth,
                                    scaling_modifier)
     pkg = deformed_package(params, state, config, camera.time)
+    # binning consumes geometry only (rects, depth, tiles_touched) — skip
+    # the SH color evaluation (shs=None), which only the render step needs
     prep = prep_lib.preprocess(
         pkg["xyz"], activated_scaling(params), pkg["rotation"],
-        pkg["opacity"], pkg["shs"], settings, active_mask=state.alive)
+        pkg["opacity"], None, settings, active_mask=state.alive)
     return binning_lib.bin_gaussians(prep, settings, capacity=capacity)
 
 

@@ -28,7 +28,11 @@ WIDTH = int(os.environ.get("BENCH_WIDTH", 1242))
 HEIGHT = int(os.environ.get("BENCH_HEIGHT", 375))
 ITERS = int(os.environ.get("BENCH_ITERS", 10))
 BACKEND = os.environ.get("BENCH_BACKEND", "pallas")
-CAPACITY = int(os.environ.get("BENCH_CAPACITY", 2_000_000))
+# 0 = size the instance capacity the way the trainer's overflow autotuner
+# would (num_rendered / 0.7 rounded up) — every integer-pipeline stage
+# scales with this static shape, so benching at a fixed oversized capacity
+# understates the trained-system throughput
+CAPACITY = int(os.environ.get("BENCH_CAPACITY", 0))
 MAX_PER_TILE = int(os.environ.get("BENCH_MAX_PER_TILE", 4096))
 CHUNK = int(os.environ.get("BENCH_CHUNK", 64))
 # second phase: the trainer-shaped step (deform, flow+semantic channels,
@@ -132,6 +136,25 @@ def main():
     target = jnp.asarray(rng.uniform(size=(3, HEIGHT, WIDTH)),
                          dtype=jnp.float32)
 
+    global CAPACITY
+    if CAPACITY == 0:
+        # probe the true instance count once, then size capacity with the
+        # trainer autotuner's 1/0.7 headroom (train/trainer.py
+        # _maybe_grow_instance_capacity)
+        from adgs_tpu.raster import preprocess as _prep
+        from adgs_tpu.raster import binning as _binning
+
+        @jax.jit
+        def _probe(p):
+            prep = _prep.preprocess(
+                p["means3d"], p["scales"], p["rotations"], p["opacities"],
+                None, settings)
+            return jnp.sum(prep.tiles_touched)
+        nr = int(_probe(params))
+        CAPACITY = -(-int(nr / 0.7) // 4096) * 4096
+        print(f"# instance capacity autotuned to {CAPACITY} "
+              f"(num_rendered {nr})", file=sys.stderr)
+
     if BACKEND == "pallas":
         # Staged execution: binning (integer sort pipeline, no gradients)
         # compiles separately from the differentiable render step — same
@@ -146,9 +169,10 @@ def main():
 
         @jax.jit
         def bin_step(p):
+            # geometry only — binning never reads SH colors
             prep = prep_lib.preprocess(
                 p["means3d"], p["scales"], p["rotations"], p["opacities"],
-                p["shs"], settings)
+                None, settings)
             return binning_lib.bin_gaussians(prep, settings,
                                              capacity=CAPACITY)
 

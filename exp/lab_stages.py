@@ -140,7 +140,7 @@ def main():
             opac2 = jnp.where(pr.visible, pr.opacity, 0.0)
             log_op = jnp.log(jnp.maximum(opac2, pal.OP_FLOOR))
             packed, F = pal.pack_gaussian_rows(pr.mean2d, pr.conic, log_op, features)
-            return pal.build_instances(bb.gauss_id, packed)
+            return pal.build_instances(bb.gauss_id, packed, F)
         timeit("build_instances", build, prep, b)
 
     if "fwd" in stages:
