@@ -1,103 +1,207 @@
 #!/usr/bin/env python
 """Waymo Open Dataset -> adgs_tpu scene converter (offline).
 
-Capability parity with scripts/waymo/waymo.py: reads a tfrecord segment via
-waymo-open-dataset, extracts front-camera(s) images + K/R/T, per-frame
-LiDAR point clouds with per-point timestamps, marks every 4th frame as
-validation (StreetGS protocol), and writes cameras.npz + image/ +
-points3d.ply in the reader contract (scene/dataset_readers.py:261-357).
+Capability parity with the reference's scripts/waymo/waymo.py:308-472: ego
+poses rebased to the first frame, per-camera world->cam matrices through
+the OpenCV axis flip, rolling-shutter-corrected TOP-lidar extraction,
+per-point frame timestamps, train-view color averaging via align-corners
+sampling, optional sparse lidar depth maps, every-4th-frame val split, and
+cameras.npz + image/ + points3d.ply in the reader contract
+(scene/dataset_readers.py:261-357).
 
-Requires `waymo-open-dataset-tf` + tensorflow (separate env, like the
-reference's converter environments — README.md:25-77).
+ALL geometry runs in adgs_tpu.data.lidar (numpy, unit-tested); the
+waymo-open-dataset SDK + tensorflow are used ONLY to decode the tfrecord
+protos (run in a dedicated env, like the reference's converter envs).
+
+  python scripts/convert_waymo.py <segment.tfrecord> <dst> \
+      [--first_frame 0] [--last_frame -1] [--select_camera 0] \
+      [--use_color] [--use_depth] [-r 1.0]
 """
 
 from __future__ import annotations
 
 import argparse
+import io
 import os
 import sys
 
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from adgs_tpu.data import lidar  # noqa: E402
+from adgs_tpu.data.ply import store_point_cloud  # noqa: E402
+
+
+def decode_range_images(frame, dataset_pb2, zlib):
+    """laser_name -> ([H,W] first-return ranges, calib), plus the TOP
+    lidar's per-pixel pose tensor. Proto/zlib decoding only — all geometry
+    lives in adgs_tpu.data.lidar."""
+    out = {}
+    top_pose = None
+    for laser in frame.lasers:
+        if not laser.ri_return1.range_image_compressed:
+            continue
+        ri = dataset_pb2.MatrixFloat()
+        ri.ParseFromString(
+            zlib.decompress(laser.ri_return1.range_image_compressed))
+        shape = tuple(ri.shape.dims)
+        data = np.array(ri.data, np.float32).reshape(shape)
+        out[laser.name] = data[..., 0]   # channel 0 = range
+        if laser.name == dataset_pb2.LaserName.TOP:
+            rp = dataset_pb2.MatrixFloat()
+            rp.ParseFromString(zlib.decompress(
+                laser.ri_return1.range_image_pose_compressed))
+            top_pose = np.array(rp.data, np.float32).reshape(
+                tuple(rp.shape.dims))    # [H, W, 6] rpy + xyz
+    return out, top_pose
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("tfrecord")
     p.add_argument("dst")
-    p.add_argument("--num_cam", type=int, default=1,
-                   help="1=FRONT, 3=FRONT_LEFT+FRONT+FRONT_RIGHT")
-    p.add_argument("--val_every", type=int, default=4)
+    p.add_argument("--first_frame", type=int, default=0)
+    p.add_argument("--last_frame", type=int, default=-1)
+    p.add_argument("--select_camera", type=int, nargs="+", default=[0],
+                   help="0=FRONT 1=FRONT_LEFT 2=FRONT_RIGHT 3=SIDE_LEFT "
+                        "4=SIDE_RIGHT (proto name minus one)")
+    p.add_argument("--downsample_ratio", "-r", type=float, default=1.0)
+    p.add_argument("--use_color", action="store_true")
+    p.add_argument("--use_depth", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
     try:
         import tensorflow as tf
         from waymo_open_dataset import dataset_pb2
-        from waymo_open_dataset.utils import frame_utils
     except ImportError:
-        print("ERROR: waymo-open-dataset + tensorflow are required for this "
-              "converter (run it in a dedicated environment, as the "
-              "reference does for scripts/waymo/waymo.py).")
+        print("ERROR: waymo-open-dataset + tensorflow are required to "
+              "decode tfrecord protos (run in a dedicated environment, as "
+              "the reference does for scripts/waymo/waymo.py).")
         sys.exit(1)
-
-    from adgs_tpu.data.ply import store_point_cloud
+    import zlib
     from PIL import Image
-    import io
 
-    cam_names = ([dataset_pb2.CameraName.FRONT] if args.num_cam == 1 else
-                 [dataset_pb2.CameraName.FRONT_LEFT,
-                  dataset_pb2.CameraName.FRONT,
-                  dataset_pb2.CameraName.FRONT_RIGHT])
     os.makedirs(os.path.join(args.dst, "image"), exist_ok=True)
+    if args.use_depth:
+        os.makedirs(os.path.join(args.dst, "lidar_depth"), exist_ok=True)
 
-    Ks, Rs, Ts, stamps, is_val = [], [], [], [], []
-    pcd, pcd_t = [], []
     ds = tf.data.TFRecordDataset(args.tfrecord, compression_type="")
-    fidx = 0
-    for data in ds:
+    frames_raw = list(ds)
+    last = args.last_frame if args.last_frame != -1 else len(frames_raw) - 1
+    n_frames = last - args.first_frame + 1
+    val_set = lidar.get_val_frames(n_frames, test_every=4)
+
+    rng = np.random.default_rng(args.seed)
+    ego0_inv = None
+    Ks, Rs, Ts, stamps, is_val_list = [], [], [], [], []
+    pcd, pcd_rgb, pcd_cnt = [], [], []
+
+    for fid, data in enumerate(frames_raw):
+        if fid < args.first_frame or fid > last:
+            continue
+        t_rel = fid - args.first_frame
         frame = dataset_pb2.Frame()
         frame.ParseFromString(bytearray(data.numpy()))
-        pose_v2w = np.array(frame.pose.transform).reshape(4, 4)
-        for c_i, cam_name in enumerate(cam_names):
+        ego_to_world = np.array(frame.pose.transform).reshape(4, 4)
+        if ego0_inv is None:
+            ego0_inv = np.linalg.inv(ego_to_world)
+        ego_to_world = ego0_inv @ ego_to_world  # rebase to frame 0
+        is_val = t_rel in val_set
+
+        range_images, top_pose_raw = decode_range_images(
+            frame, dataset_pb2, zlib)
+        if top_pose_raw is None:
+            print(f"frame {fid}: camera-only segment, no lidar; skipped")
+            continue
+        # per-pixel poses are stored in the ORIGINAL world frame; rebase
+        top_pose = lidar.pixel_pose_matrices(top_pose_raw.astype(np.float64))
+        top_pose = np.einsum("ij,hwjk->hwik", ego0_inv, top_pose)
+
+        points = []
+        for calib in sorted(frame.context.laser_calibrations,
+                            key=lambda c: c.name):
+            if calib.name not in range_images:
+                continue
+            extrinsic = np.array(calib.extrinsic.transform).reshape(4, 4)
+            incl = (np.array(calib.beam_inclinations)[::-1].copy()
+                    if len(calib.beam_inclinations) else None)
+            is_top = calib.name == dataset_pb2.LaserName.TOP
+            points.append(lidar.range_image_to_points(
+                range_images[calib.name], extrinsic,
+                inclinations=incl,
+                incl_min=calib.beam_inclination_min,
+                incl_max=calib.beam_inclination_max,
+                pixel_pose=top_pose if is_top else None,
+                frame_pose=ego_to_world if is_top else None))
+        points = np.concatenate(points, axis=0)
+        points = points @ ego_to_world[:3, :3].T + ego_to_world[:3, 3]
+
+        mask_total = np.zeros(len(points), bool)
+        colors = np.zeros((len(points), 3), np.float32)
+        counts = np.zeros(len(points), np.float32)
+        for img_msg in frame.images:
+            if img_msg.name - 1 not in args.select_camera:
+                continue
             calib = next(c for c in frame.context.camera_calibrations
-                         if c.name == cam_name)
-            img_msg = next(i for i in frame.images if i.name == cam_name)
-            # intrinsics: [f_u, f_v, c_u, c_v, k1..]
+                         if c.name == img_msg.name)
+            image_id = len(Rs)
+            img_path = os.path.join(args.dst, "image",
+                                    f"{image_id:06d}.jpg")
+            with open(img_path, "wb") as f:
+                f.write(img_msg.image)
             intr = np.array(calib.intrinsic)
-            T_cam2v = np.array(calib.extrinsic.transform).reshape(4, 4)
-            # waymo camera frame: x forward; convert to CV convention
-            cv2waymo = np.array([[0, 0, 1, 0], [-1, 0, 0, 0],
-                                 [0, -1, 0, 0], [0, 0, 0, 1.0]])
-            T_w2cam = np.linalg.inv(pose_v2w @ T_cam2v @ cv2waymo)
-            Ks.append([intr[0], intr[1], intr[2], intr[3]])
-            Rs.append(T_w2cam[:3, :3])
-            Ts.append(T_w2cam[:3, 3])
-            stamps.append(fidx)
-            is_val.append(fidx % args.val_every == 0 and fidx > 0)
-            out = os.path.join(args.dst, "image",
-                               f"{fidx * args.num_cam + c_i:06d}.png")
-            Image.open(io.BytesIO(img_msg.image)).save(out)
+            K = np.array([[intr[0], 0, intr[2]], [0, intr[1], intr[3]],
+                          [0, 0, 1.0]])
+            cam_ext = np.array(calib.extrinsic.transform).reshape(4, 4)
+            RT = lidar.camera_world_to_cam(ego_to_world, cam_ext)
+            Ks.append(intr)
+            Rs.append(RT[:3, :3])
+            Ts.append(RT[:3, 3])
+            stamps.append(t_rel)
+            is_val_list.append(is_val)
 
-        ri, cp, _ = frame_utils.parse_range_image_and_camera_projection(frame)
-        pts, _ = frame_utils.convert_range_image_to_point_cloud(
-            frame, ri, cp, 0)
-        pts_w = (np.concatenate(pts, axis=0) @ pose_v2w[:3, :3].T
-                 + pose_v2w[:3, 3])
-        pcd.append(pts_w)
-        pcd_t.append(np.full(len(pts_w), fidx, np.float32))
-        fidx += 1
+            with Image.open(img_path) as im:
+                W, H = im.size
+                img_arr = (np.asarray(im, np.float32) / 255.0
+                           if args.use_color else None)
+            uv, depth, mask = lidar.project_points(points, K, RT, W, H)
+            if args.use_depth:
+                dmap, dmask = lidar.lidar_depth_map(uv, depth, mask, W, H)
+                np.savez(os.path.join(args.dst, "lidar_depth",
+                                      f"{image_id:06d}.npz"),
+                         depth=dmap, mask=dmask)
+            if not is_val:
+                mask_total |= mask
+                if args.use_color:
+                    colors[mask] += lidar.sample_colors_aligned(
+                        img_arr, uv[mask])
+                    counts += mask.astype(np.float32)
 
+        if not is_val:
+            pts = points[mask_total]
+            col = colors[mask_total]
+            cnt = counts[mask_total]
+            if args.downsample_ratio < 1.0:
+                keep = rng.permutation(len(pts))[
+                    :int(len(pts) * args.downsample_ratio)]
+                pts, col, cnt = pts[keep], col[keep], cnt[keep]
+            if args.use_color:
+                col = col / np.maximum(cnt, 1.0)[:, None] * 255.0
+            else:
+                col = rng.random((len(pts), 3)).astype(np.float32) * 255.0
+            pcd.append(np.concatenate(
+                [pts, np.full((len(pts), 1), t_rel, np.float32)], axis=-1))
+            pcd_rgb.append(col)
+
+    pc = np.concatenate(pcd)
+    store_point_cloud(os.path.join(args.dst, "points3d.ply"),
+                      pc[:, :3], np.concatenate(pcd_rgb), times=pc[:, 3])
     np.savez(os.path.join(args.dst, "cameras.npz"),
-             K=np.array(Ks), R=np.array(Rs), T=np.array(Ts),
-             time_stamps=np.array(stamps, np.float64),
-             is_val_list=np.array(is_val))
-    pts = np.concatenate(pcd)
-    rng = np.random.default_rng(0)
-    store_point_cloud(os.path.join(args.dst, "points3d.ply"), pts,
-                      rng.random((len(pts), 3)).astype(np.float32) * 255,
-                      times=np.concatenate(pcd_t))
-    print(f"{fidx} frames, {len(pts)} lidar points -> {args.dst}")
+             K=np.stack(Ks), R=np.stack(Rs), T=np.stack(Ts),
+             time_stamps=np.array(stamps, np.float32),
+             is_val_list=np.array(is_val_list, bool))
+    print(f"PCD {pc.shape}; images/RTs {len(Rs)} -> {args.dst}")
 
 
 if __name__ == "__main__":
