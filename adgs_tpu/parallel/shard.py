@@ -5,13 +5,13 @@ interaction is partitioned by sharding image TILE ROWS across the mesh's
 "tile" axis — the structural counterpart of sequence/context parallelism in
 transformers. Each device:
 
-  1. preprocesses all Gaussians (replicated compute for now; the primitive
-     axis shard + all-to-all exchange is the next tier),
-  2. bins/sorts only the instances whose rects intersect its tile-row slab
-     (exactly the instances duplicateWithKeys would emit for those tiles —
-     rasterizer_impl.cu:70-111 — so no cross-device exchange is needed in
-     the forward), and
-  3. composites its slab.
+  1. deforms + preprocesses its 1/D slice of the Gaussians,
+  2. routes per-primitive render payloads to the slabs their rects
+     intersect — either an all-gather (replicated binning input) or, with
+     primitive_exchange=True, a duplicateWithKeys-style all-to-all
+     (rasterizer_impl.cu:70-111) that moves only the intersecting rows
+     (~mean-slabs-touched x N/D instead of (D-1) x N/D per device), and
+  3. bins/sorts exactly its slab's instances and composites them.
 
 Slabs are all-gathered into full images for the global losses (image-space
 losses like SSIM need cross-slab windows; the gather is a few MB and its
@@ -140,6 +140,42 @@ def _slice_gaussian_axis(tree, d: jnp.ndarray, D: int, scene_cap: int,
     return jax.tree.map(f, tree)
 
 
+def _exchange_primitives(payload, dev_lo, dev_hi, D: int, axis: str,
+                         cap_pair: int):
+    """duplicateWithKeys across the mesh (rasterizer_impl.cu:70-111 analog):
+    each device sends every one of its primitives ONLY to the devices whose
+    tile-row slab the primitive's rect intersects, as one ragged-emulating
+    all-to-all with fixed per-pair capacity.
+
+    payload: [n_loc, F] per-primitive render columns; dev_lo/dev_hi:
+    [n_loc] inclusive destination-device range (lo > hi = send nowhere).
+    Returns ([D * cap_pair, F] received rows, [D * cap_pair] valid,
+    overflow flag). Comm volume is ~(mean slabs touched) x n_loc rows
+    instead of the all-gather's (D-1) x n_loc.
+
+    Bucket packing is ONE cumsum + scatter-set (per-destination argsorts
+    would compile as D full sorts — XLA TPU sorts cost 20-75s each to
+    compile, CLAUDE.md). Rows sent to several slabs are scattered from a
+    repeat, whose transpose SUMS the cotangents — grads stay exact."""
+    n, F = payload.shape
+    e_rng = jnp.arange(D, dtype=jnp.int32)
+    m = (dev_lo[:, None] <= e_rng) & (e_rng <= dev_hi[:, None])  # [n, D]
+    pos = jnp.cumsum(m.astype(jnp.int32), axis=0) - 1   # slot within bucket
+    counts = 1 + pos[-1]                                # [D]
+    dest = jnp.where(m & (pos < cap_pair),
+                     e_rng * cap_pair + pos, D * cap_pair)
+    send = (jnp.zeros((D * cap_pair + 1, F), payload.dtype)
+            .at[dest.reshape(-1)]
+            .set(jnp.repeat(payload, D, axis=0)))[:D * cap_pair]
+    valid = (jnp.arange(cap_pair) < counts[:, None]).reshape(-1)
+    overflow = jnp.max(counts) > cap_pair
+    recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0,
+                              tiled=True)
+    vrecv = jax.lax.all_to_all(valid, axis, split_axis=0, concat_axis=0,
+                               tiled=True)
+    return recv, vrecv, jax.lax.psum(overflow.astype(jnp.int32), axis) > 0
+
+
 def sharded_render_images(
     params: GaussianParams, state: GaussianState, config: GaussianConfig,
     camera: Camera, mesh: Mesh, axis: str = "tile",
@@ -152,6 +188,8 @@ def sharded_render_images(
     inv_depth: bool = True,
     capacity: int = 1 << 18, max_per_tile: int = 2048, chunk: int = 32,
     shard_primitives: bool = True,
+    primitive_exchange: bool = False,
+    exchange_capacity: Optional[int] = None,
     backend: str = "xla",
 ) -> dict:
     """Full multi-device render returning the same dict as render().
@@ -200,13 +238,64 @@ def sharded_render_images(
                 objp = g[:, ns:].reshape((-1,) + x.shape[1:])
                 return jnp.concatenate([scene, objp], axis=0)
 
+            # the small global-need fields travel by all-gather either way
+            # (radii for densify stats, pkg for the losses)
+            pkg = jax.tree.map(gather_blocks, pkg_loc)
+
+            if primitive_exchange:
+                # duplicateWithKeys across the mesh: route each primitive's
+                # RENDER payload only to the slabs its rect intersects
+                n_loc = prep_loc.mean2d.shape[0]
+                ns = params.scene_capacity // D
+                cap_pair = exchange_capacity or max(
+                    64, -(-4 * n_loc // D) // 8 * 8)
+                rlo = prep_loc.rect_min[:, 1] // rows_per_dev
+                rhi = jnp.clip((prep_loc.rect_max[:, 1] - 1) // rows_per_dev,
+                               0, D - 1)
+                vis0 = prep_loc.visible
+                dev_lo = jnp.where(vis0, rlo, 1).astype(jnp.int32)
+                dev_hi = jnp.where(vis0, rhi, 0).astype(jnp.int32)
+                cols = [prep_loc.mean2d, prep_loc.conic,
+                        prep_loc.depth[:, None], prep_loc.rgb,
+                        prep_loc.opacity[:, None], prep_loc.extent,
+                        vis0.astype(jnp.float32)[:, None]]
+                if flow_loc is not None:
+                    cols.append(flow_loc)
+                if sem_loc is not None:
+                    cols.append(sem_loc)
+                payload = jnp.concatenate(cols, axis=-1)
+                rows, val, _ex_overflow = _exchange_primitives(
+                    payload, dev_lo, dev_hi, D, axis, cap_pair)
+                visible_r = val & (rows[:, 12] > 0.5)
+                nr = rows.shape[0]
+                zi = jnp.zeros((nr, 2), jnp.int32)
+                prep = Preprocessed(
+                    mean2d=rows[:, 0:2], depth=rows[:, 5],
+                    conic=rows[:, 2:5], opacity=rows[:, 9],
+                    rgb=rows[:, 6:9], radii=jnp.zeros((nr,), jnp.float32),
+                    extent=rows[:, 10:12], rect_min=zi, rect_max=zi,
+                    tiles_touched=jnp.zeros((nr,), jnp.int32),
+                    visible=visible_r)
+                c = 13
+                flow_points = semantic = None
+                if flow_loc is not None:
+                    flow_points = rows[:, c:c + 3]
+                    c += 3
+                if sem_loc is not None:
+                    semantic = rows[:, c:c + 1]
+                radii_full = gather_blocks(prep_loc.radii)
+                slab, t, _ = _render_local_slab(
+                    prep, settings, rows_per_dev, axis, flow_points,
+                    semantic, capacity, max_per_tile, chunk, backend=backend)
+                slabs = jax.lax.all_gather(slab, axis)
+                ts = jax.lax.all_gather(t, axis)
+                return slabs, ts, radii_full > 0, radii_full, pkg
+
             prep = jax.tree.map(gather_blocks, prep_loc)
             flow_points = (gather_blocks(flow_loc)
                            if flow_loc is not None else None)
             semantic = (gather_blocks(sem_loc)
                         if sem_loc is not None else None)
-            # shs for pkg output (densify/debug consumers)
-            pkg = jax.tree.map(gather_blocks, pkg_loc)
         else:
             pkg = deformed_package(params, state, config, camera.time)
             flow_points = (deformed_xyz(params, config, flow_time)
@@ -289,6 +378,7 @@ def make_sharded_train_step(
     chunk: int = 32,
     inv_depth: bool = True,
     backend: str = "xla",
+    primitive_exchange: bool = False,
 ):
     """Sharded analog of train.step.make_train_step: one jitted multi-device
     program (render sharded by tile rows, losses global, grads psum'd by the
@@ -311,7 +401,8 @@ def make_sharded_train_step(
                 flow_time=flow_time, render_objmask=render_objmask,
                 screen_offset=so, active_sh_degree=active_sh_degree,
                 inv_depth=inv_depth, capacity=capacity,
-                max_per_tile=max_per_tile, chunk=chunk, backend=backend)
+                max_per_tile=max_per_tile, chunk=chunk, backend=backend,
+                primitive_exchange=primitive_exchange)
             total, logs = compute_losses(
                 pkg, batch, trainables.gaussians, state, config, opt,
                 frame_gap, scene_extent)

@@ -55,13 +55,31 @@ def bench_train_step():
     from adgs_tpu.train.optim import TrainableState, init_adam
     from adgs_tpu.train.step import make_train_step
 
+    import dataclasses as _dc
+    from adgs_tpu.render import compute_binning
+
     params, state, cfg, cam, env, rays = ge._build_scene(
         n_points=TRAIN_N_GAUSS, width=WIDTH, height=HEIGHT,
         quantum=max(4096, TRAIN_N_GAUSS // 64))
+    # the synthetic point cloud is blobbier than a trained scene (~6 tiles
+    # per gaussian vs ~1.4 on converged KITTI); shrink scales toward the
+    # raster protocol's density, then size the instance capacity the way
+    # the trainer's overflow autotuner would — overflow would silently
+    # truncate instances and flatter the number
+    _shr = float(np.log(0.3))
+    params = _dc.replace(params, scene_scaling=params.scene_scaling + _shr,
+                         obj_scaling=params.obj_scaling + _shr)
+    nr = int(jax.jit(
+        lambda p, s: compute_binning(cam, p, s, cfg, active_sh_degree=3,
+                                     capacity=1 << 10).num_rendered
+    )(params, state))
+    cap_train = -(-int(nr / 0.7) // 4096) * 4096
+    print(f"# train scene: num_rendered {nr}, capacity {cap_train}",
+          file=sys.stderr)
     opt = OptimizationConfig()
     step = make_train_step(
         cfg, opt, frame_gap=1.0 / 60, scene_extent=20.0,
-        cameras_extent=10.0, capacity=CAPACITY,
+        cameras_extent=10.0, capacity=cap_train,
         max_per_tile=MAX_PER_TILE, chunk=CHUNK, backend=BACKEND)
     rng = np.random.default_rng(1)
     fx = 0.5 * WIDTH / np.tan(0.6)
@@ -88,8 +106,12 @@ def bench_train_step():
                jnp.float32(1000), active_sh_degree=3)
     jax.block_until_ready(out)
     iters = max(ITERS // 2, 3)
+    # thread the train state through the loop (true steady-state training,
+    # and a data dependency that defeats the axon tunnel's dispatch-queue
+    # overlap, which otherwise reports enqueue time for independent calls)
     t0 = time.perf_counter()
     for _ in range(iters):
+        params, env, opt_state, state = out[:4]
         out = step(params, env, opt_state, state, cam, batch, rays,
                    jnp.float32(1000), active_sh_degree=3)
     jax.block_until_ready(out)
@@ -101,6 +123,12 @@ def bench_train_step():
 
 def main():
     import jax
+    # persistent compile cache: the staged jits at bench scale cost minutes
+    # to compile on the remote-TPU path the first time, seconds after
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
     from adgs_tpu.core.camera import Camera
     from adgs_tpu.raster.api import rasterize

@@ -28,8 +28,10 @@ def mesh():
 
 
 class TestShardedRender:
-    @pytest.mark.parametrize("backend", ["xla", "pallas"])
-    def test_matches_single_device(self, rng, mesh, backend):
+    @pytest.mark.parametrize("backend,exchange",
+                             [("xla", False), ("pallas", False),
+                              ("xla", True), ("pallas", True)])
+    def test_matches_single_device(self, rng, mesh, backend, exchange):
         params, state, cfg, _ = tiny_model(rng, n=150, quantum=128)
         cam = fx.make_camera(width=64, height=80, time=0.3)
 
@@ -37,7 +39,8 @@ class TestShardedRender:
                                    capacity=1 << 14, max_per_tile=256)
         sharded = sharded_render_images(params, state, cfg, cam, mesh,
                                         capacity=1 << 13, max_per_tile=256,
-                                        backend=backend)
+                                        backend=backend,
+                                        primitive_exchange=exchange)
         np.testing.assert_allclose(sharded["render"], single["render"],
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(sharded["depth"], single["depth"],
@@ -46,8 +49,10 @@ class TestShardedRender:
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_array_equal(sharded["radii"], single["radii"])
 
-    @pytest.mark.parametrize("backend", ["xla", "pallas"])
-    def test_grads_match_single_device(self, rng, mesh, backend):
+    @pytest.mark.parametrize("backend,exchange",
+                             [("xla", False), ("pallas", False),
+                              ("xla", True)])
+    def test_grads_match_single_device(self, rng, mesh, backend, exchange):
         params, state, cfg, _ = tiny_model(rng, n=80, quantum=128)
         cam = fx.make_camera(width=48, height=48, time=0.2)
         target = jnp.asarray(rng.uniform(size=(3, 48, 48)), dtype=jnp.float32)
@@ -60,7 +65,8 @@ class TestShardedRender:
         def loss_sharded(p):
             out = sharded_render_images(p, state, cfg, cam, mesh,
                                         capacity=1 << 12, max_per_tile=256,
-                                        backend=backend)
+                                        backend=backend,
+                                        primitive_exchange=exchange)
             return jnp.mean(jnp.abs(out["render"] - target))
 
         g1 = jax.grad(loss_single)(params)
