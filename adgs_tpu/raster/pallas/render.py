@@ -201,13 +201,24 @@ def _chunk_weights(alpha, log_t_raw, log_t_eff):
 
     alpha: [CHUNK, P] front-to-back along sublanes; carries: [1, P].
     Returns (w, new_raw, new_eff, (a_eff, log_t_excl, include)) with
-    include = raw running product >= 1e-4."""
+    include = raw running product >= 1e-4.
+
+    include is a PREFIX property per pixel (the raw log-product only
+    decreases), so the effective product equals the raw one until the
+    termination instance and FREEZES there — one min-reduce over the
+    included raw values replaces a second 8-step log-roll cumsum (the
+    rolls are the kernel's main VPU cost). Bitwise-identical to the
+    two-cumsum form: pre-freeze positions share the same summation tree,
+    and post-freeze values only ever multiply zeroed weights."""
     log1m = jnp.log1p(-alpha)
     cum_raw = _sub_cumsum(log1m) + log_t_raw
     include = (cum_raw >= LOG_TEPS) & (log_t_raw >= LOG_TEPS)
     a_eff = jnp.where(include, alpha, 0.0)
-    log1m_eff = jnp.log1p(-a_eff)
-    cum_eff = _sub_cumsum(log1m_eff) + log_t_eff
+    log1m_eff = jnp.where(include, log1m, 0.0)
+    freeze = jnp.minimum(
+        jnp.min(jnp.where(include, cum_raw, jnp.inf), axis=0, keepdims=True),
+        log_t_eff)
+    cum_eff = jnp.where(include, cum_raw, freeze)
     log_t_excl = cum_eff - log1m_eff
     w = a_eff * jnp.exp(log_t_excl)
     return w, cum_raw[-1:, :], cum_eff[-1:, :], (a_eff, log_t_excl, include)

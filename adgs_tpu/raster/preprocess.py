@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..core import sh as sh_lib
@@ -98,6 +99,19 @@ def preprocess(
     # exact AABB of the 3-sigma ellipse: lambda_max >= max(cov_xx, cov_yy),
     # so these per-axis extents are always <= the isotropic radius
     extent = 3.0 * jnp.sqrt(jnp.maximum(c2.cov[..., 0::2], 0.0))
+    # opacity-aware support: alpha = op*exp(-q/2) can only clear the 1/255
+    # compositing gate (composite.py ALPHA_MIN == forward.cu:358) where
+    # q <= 2*ln(255*op); the 3-sigma rect is q <= 9. Shrinking the rect to
+    # the true support is LOSSLESS — every excluded pixel is zeroed by the
+    # alpha gate in all three tiers (and gets exactly zero gradient) — and
+    # cuts the duplicated-instance count every pipeline stage scales with.
+    # Gaussians with op <= 1/255 lose their rect entirely, exactly as they
+    # contribute nothing anywhere. stop_gradient: the support bound is
+    # integer plumbing, not a differentiable quantity.
+    q_max = 2.0 * jnp.log(255.0 * jnp.maximum(opacities, 1e-30))
+    shrink = jax.lax.stop_gradient(
+        jnp.sqrt(jnp.clip(q_max, 0.0, 9.0) / 9.0))
+    extent = extent * shrink[..., None]
     rect_min, rect_max = get_rect(mean2d, extent, settings.grid_x, settings.grid_y)
     tiles = ((rect_max[..., 0] - rect_min[..., 0])
              * (rect_max[..., 1] - rect_min[..., 1]))
