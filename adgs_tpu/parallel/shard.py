@@ -316,10 +316,15 @@ def sharded_render_images(
         return slabs, ts, visible, prep.radii, pkg
 
     spec_rep = P()
-    fn = shard_map(inner, mesh=mesh,
-                   in_specs=(spec_rep, spec_rep, spec_rep),
-                   out_specs=(P(axis), P(axis), spec_rep, spec_rep, spec_rep),
-                   check_vma=False)
+    # jit the shard_map program: called eagerly it would dispatch the inner
+    # graph op-by-op through the shard_map interpreter (~100x slower for
+    # standalone render calls; inside a jitted train step this jit is a
+    # no-op inline)
+    fn = jax.jit(shard_map(
+        inner, mesh=mesh,
+        in_specs=(spec_rep, spec_rep, spec_rep),
+        out_specs=(P(axis), P(axis), spec_rep, spec_rep, spec_rep),
+        check_vma=False))
     if screen_offset is None:
         screen_offset = jnp.zeros((params.capacity, 2), dtype=jnp.float32)
     slabs, ts, visible, radii, pkg = fn(params, state, screen_offset)

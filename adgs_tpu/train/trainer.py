@@ -197,12 +197,14 @@ class Trainer:
         """Overflow-driven autotuning of the duplicated-instance capacity
         (the reference sizes this buffer exactly per frame,
         rasterizer_impl.cu:284-305; our static shape grows on demand with
-        one retrace). Headroom 1/0.7 so densification growth between checks
-        doesn't silently truncate tile lists."""
+        one retrace). Headroom 1/0.8: enough that densification growth
+        between checks doesn't silently truncate tile lists, tight because
+        every integer-pipeline stage (expansion, sort, instance gather,
+        grad permute) scales with this static shape."""
         if num_rendered <= 0.9 * self.capacity:
             return
         q = 4096
-        new_cap = -(-int(num_rendered / 0.7) // q) * q
+        new_cap = -(-int(num_rendered / 0.8) // q) * q
         if new_cap <= self.capacity:
             return
         self.capacity = new_cap

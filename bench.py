@@ -29,7 +29,7 @@ HEIGHT = int(os.environ.get("BENCH_HEIGHT", 375))
 ITERS = int(os.environ.get("BENCH_ITERS", 10))
 BACKEND = os.environ.get("BENCH_BACKEND", "pallas")
 # 0 = size the instance capacity the way the trainer's overflow autotuner
-# would (num_rendered / 0.7 rounded up) — every integer-pipeline stage
+# would (num_rendered / 0.8 rounded up) — every integer-pipeline stage
 # scales with this static shape, so benching at a fixed oversized capacity
 # understates the trained-system throughput
 CAPACITY = int(os.environ.get("BENCH_CAPACITY", 0))
@@ -73,7 +73,7 @@ def bench_train_step():
         lambda p, s: compute_binning(cam, p, s, cfg, active_sh_degree=3,
                                      capacity=1 << 10).num_rendered
     )(params, state))
-    cap_train = -(-int(nr / 0.7) // 4096) * 4096
+    cap_train = -(-int(nr / 0.8) // 4096) * 4096
     print(f"# train scene: num_rendered {nr}, capacity {cap_train}",
           file=sys.stderr)
     opt = OptimizationConfig()
@@ -167,7 +167,7 @@ def main():
     global CAPACITY
     if CAPACITY == 0:
         # probe the true instance count once, then size capacity with the
-        # trainer autotuner's 1/0.7 headroom (train/trainer.py
+        # trainer autotuner's 1/0.8 headroom (train/trainer.py
         # _maybe_grow_instance_capacity)
         from adgs_tpu.raster import preprocess as _prep
         from adgs_tpu.raster import binning as _binning
@@ -179,7 +179,7 @@ def main():
                 None, settings)
             return jnp.sum(prep.tiles_touched)
         nr = int(_probe(params))
-        CAPACITY = -(-int(nr / 0.7) // 4096) * 4096
+        CAPACITY = -(-int(nr / 0.8) // 4096) * 4096
         print(f"# instance capacity autotuned to {CAPACITY} "
               f"(num_rendered {nr})", file=sys.stderr)
 

@@ -71,7 +71,7 @@ def main():
             None, settings)
         return jnp.sum(prep.tiles_touched)
     nr = int(probe(params))
-    CAP = -(-int(nr / 0.7) // 4096) * 4096
+    CAP = -(-int(nr / 0.8) // 4096) * 4096
     print(f"num_rendered {nr} capacity {CAP}", flush=True)
 
     @jax.jit

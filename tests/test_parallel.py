@@ -69,8 +69,10 @@ class TestShardedRender:
                                         primitive_exchange=exchange)
             return jnp.mean(jnp.abs(out["render"] - target))
 
-        g1 = jax.grad(loss_single)(params)
-        g2 = jax.grad(loss_sharded)(params)
+        # jitted: an eager jax.grad executes the transposed shard_map
+        # program op-by-op (minutes on the CPU mesh)
+        g1 = jax.jit(jax.grad(loss_single))(params)
+        g2 = jax.jit(jax.grad(loss_sharded))(params)
         for f in ("scene_xyz", "scene_opacity", "scene_scaling",
                   "scene_rotation", "obj_xyz", "xyz_deform"):
             np.testing.assert_allclose(
