@@ -41,18 +41,31 @@ def get_rect(mean2d: jnp.ndarray, extent: jnp.ndarray,
 
     The reference's getRect (auxiliary.h:46-57) uses the isotropic
     3*sqrt(lambda_max) radius; we use the exact axis-aligned bounding box
-    of the 3-sigma ellipse (rx = 3*sqrt(cov_xx), ry = 3*sqrt(cov_yy)) —
+    of the support ellipse (preprocess computes per-axis half extents) —
     strictly tighter for anisotropic Gaussians, cutting the duplicated
-    instance count every per-instance pipeline stage scales with. Pixels
-    beyond 3 sigma carry alpha < op*exp(-4.5); dropping the square-rect
-    corners only removes that sub-1.2% tail the 3-sigma cutoff already
-    declares negligible."""
+    instance count every per-instance pipeline stage scales with.
+
+    EXACT float tile coverage: pixels are evaluated at integer coords, so
+    the covered pixels are [ceil(lo), floor(hi)] and the tile range is
+    [ceil(lo)//T, floor(hi)//T + 1). The reference's
+    `(hi + BLOCK - 1) / BLOCK` trick is only correct for integer hi — with
+    float screen coordinates it EXCLUDES the last covered tile whenever
+    hi mod T < 1 (dropping pixels whose alpha clears the 1/255 gate), and
+    its truncated lo includes one never-covered tile whenever
+    lo mod T > T-1. The exact form fixes both (net-zero expected instance
+    count: each rounding happens with probability 1/T per axis)."""
     rx = extent[..., 0]
     ry = extent[..., 1]
-    rmin_x = jnp.clip(((mean2d[..., 0] - rx) / TILE_X).astype(jnp.int32), 0, grid_x)
-    rmin_y = jnp.clip(((mean2d[..., 1] - ry) / TILE_Y).astype(jnp.int32), 0, grid_y)
-    rmax_x = jnp.clip(((mean2d[..., 0] + rx + TILE_X - 1) / TILE_X).astype(jnp.int32), 0, grid_x)
-    rmax_y = jnp.clip(((mean2d[..., 1] + ry + TILE_Y - 1) / TILE_Y).astype(jnp.int32), 0, grid_y)
+
+    def ifloor(v):
+        return jnp.floor(v).astype(jnp.int32)
+
+    rmin_x = jnp.clip(ifloor(jnp.ceil(mean2d[..., 0] - rx) / TILE_X), 0, grid_x)
+    rmin_y = jnp.clip(ifloor(jnp.ceil(mean2d[..., 1] - ry) / TILE_Y), 0, grid_y)
+    rmax_x = jnp.clip(ifloor(jnp.floor(mean2d[..., 0] + rx) / TILE_X) + 1,
+                      0, grid_x)
+    rmax_y = jnp.clip(ifloor(jnp.floor(mean2d[..., 1] + ry) / TILE_Y) + 1,
+                      0, grid_y)
     return (jnp.stack([rmin_x, rmin_y], axis=-1),
             jnp.stack([rmax_x, rmax_y], axis=-1))
 
@@ -105,18 +118,24 @@ def preprocess(
     # the true support is LOSSLESS — every excluded pixel is zeroed by the
     # alpha gate in all three tiers (and gets exactly zero gradient) — and
     # cuts the duplicated-instance count every pipeline stage scales with.
-    # Gaussians with op <= 1/255 lose their rect entirely, exactly as they
-    # contribute nothing anywhere. stop_gradient: the support bound is
-    # integer plumbing, not a differentiable quantity.
-    q_max = 2.0 * jnp.log(255.0 * jnp.maximum(opacities, 1e-30))
+    # +1e-3 q-slack: the compositors evaluate q through the conic (the
+    # inverse covariance) while this bound uses the covariance directly;
+    # the slack keeps any pixel whose f32 alpha still clears the gate
+    # inside the rect. stop_gradient: the support bound is integer
+    # plumbing, not a differentiable quantity.
+    q_max = 2.0 * jnp.log(255.0 * jnp.maximum(opacities, 1e-30)) + 1e-3
     shrink = jax.lax.stop_gradient(
         jnp.sqrt(jnp.clip(q_max, 0.0, 9.0) / 9.0))
     extent = extent * shrink[..., None]
+    # a gaussian whose PEAK alpha (= op, before the 0.99 clamp) is below
+    # the gate contributes nothing at any pixel; the 1e-5 margin keeps
+    # borderline ones alive against the kernel's log/exp round-trip
+    alive_op = opacities * 255.0 >= 1.0 - 1e-5
     rect_min, rect_max = get_rect(mean2d, extent, settings.grid_x, settings.grid_y)
     tiles = ((rect_max[..., 0] - rect_min[..., 0])
              * (rect_max[..., 1] - rect_min[..., 1]))
 
-    visible = in_front & (c2.det != 0.0) & (tiles > 0)
+    visible = in_front & (c2.det != 0.0) & (tiles > 0) & alive_op
     if active_mask is not None:
         visible = visible & active_mask
     radius = jnp.where(visible, radius, 0.0)

@@ -232,3 +232,64 @@ class TestTiledParity:
         g_xla = jax.grad(lambda s: loss(s, "xla"))(so)
         assert np.any(np.asarray(g_ref) != 0.0)
         np.testing.assert_allclose(g_xla, g_ref, rtol=5e-3, atol=1e-6)
+
+
+class TestOpacityAwareSupport:
+    """The rect shrink to the exact alpha support (preprocess.py) must be
+    lossless: pixels beyond sigma*sqrt(2 ln(255 op)) are zeroed by the
+    1/255 gate, so rendering with the full 3-sigma rects gives the SAME
+    image; op <= 1/255 gaussians lose their rect entirely."""
+
+    def _prep(self, rng, ops):
+        cam = fx.make_camera()
+        st = fx.settings_from_camera(cam, bg=(0.1, 0.2, 0.3))
+        g = fx.make_gaussians(rng, n=len(ops))
+        g["opacities"] = jnp.asarray(ops, dtype=jnp.float32)
+        prep = preprocess.preprocess(
+            g["means3d"], g["scales"], g["rotations"], g["opacities"],
+            g["shs"], st)
+        return prep, st
+
+    def test_subthreshold_opacity_has_no_rect(self, rng):
+        ops = np.full(64, 1.0 / 255.0 - 1e-4)
+        prep, _ = self._prep(rng, ops)
+        assert np.all(np.asarray(prep.tiles_touched) == 0)
+        assert not np.any(np.asarray(prep.visible))
+
+    def test_shrunk_rects_render_identically(self, rng):
+        ops = np.concatenate([
+            np.full(32, 0.005), np.full(32, 0.02),
+            np.full(32, 0.2), np.full(32, 0.9)])
+        prep, st = self._prep(rng, ops)
+
+        # rebuild the full 3-sigma rects (undo the shrink; all ops > 1/255
+        # here so the factor is positive)
+        shrink = np.sqrt(
+            np.clip(2.0 * np.log(255.0 * ops) + 1e-3, 0.0, 9.0) / 9.0)
+        extent3 = prep.extent / jnp.asarray(shrink, jnp.float32)[:, None]
+        rmin3, rmax3 = preprocess.get_rect(prep.mean2d, extent3,
+                                           st.grid_x, st.grid_y)
+        tiles3 = ((rmax3[..., 0] - rmin3[..., 0])
+                  * (rmax3[..., 1] - rmin3[..., 1]))
+        # re-derive base visibility (frustum + peak-alpha) — OR-ing with
+        # prep.visible would revive frustum-culled gaussians whose
+        # projected quantities are garbage
+        vis3 = (tiles3 > 0) & (prep.depth > 0.2) & jnp.asarray(
+            ops * 255.0 >= 1.0 - 1e-5)
+        prep3 = prep._replace(extent=extent3, rect_min=rmin3, rect_max=rmax3,
+                              tiles_touched=jnp.where(vis3, tiles3, 0)
+                              .astype(jnp.int32), visible=vis3)
+        assert int(jnp.sum(prep3.tiles_touched)) > int(
+            jnp.sum(prep.tiles_touched)), "shrink should cut instances"
+
+        from adgs_tpu.raster import tiled as tiled_lib
+        out_s = tiled_lib.render_tiled(
+            prep, binning_lib.bin_gaussians(prep, st, capacity=1 << 14), st)
+        out_f = tiled_lib.render_tiled(
+            prep3, binning_lib.bin_gaussians(prep3, st, capacity=1 << 14), st)
+        # extra sub-gate instances change chunk boundaries and thus the
+        # f32 summation tree -> tolerate 1-ULP, nothing more
+        np.testing.assert_allclose(np.asarray(out_s.color),
+                                   np.asarray(out_f.color), atol=5e-7)
+        np.testing.assert_allclose(np.asarray(out_s.opacity),
+                                   np.asarray(out_f.opacity), atol=5e-7)
