@@ -264,7 +264,7 @@ def sharded_render_images(
                 if sem_loc is not None:
                     cols.append(sem_loc)
                 payload = jnp.concatenate(cols, axis=-1)
-                rows, val, _ex_overflow = _exchange_primitives(
+                rows, val, ex_overflow = _exchange_primitives(
                     payload, dev_lo, dev_hi, D, axis, cap_pair)
                 visible_r = val & (rows[:, 12] > 0.5)
                 nr = rows.shape[0]
@@ -289,7 +289,8 @@ def sharded_render_images(
                     semantic, capacity, max_per_tile, chunk, backend=backend)
                 slabs = jax.lax.all_gather(slab, axis)
                 ts = jax.lax.all_gather(t, axis)
-                return slabs, ts, radii_full > 0, radii_full, pkg
+                return (slabs, ts, radii_full > 0, radii_full,
+                        pkg, ex_overflow)
 
             prep = jax.tree.map(gather_blocks, prep_loc)
             flow_points = (gather_blocks(flow_loc)
@@ -313,7 +314,8 @@ def sharded_render_images(
         ts = jax.lax.all_gather(t, axis)
         # visible anywhere -> visible (for densification stats)
         visible = jax.lax.psum(visible.astype(jnp.int32), axis) > 0
-        return slabs, ts, visible, prep.radii, pkg
+        return (slabs, ts, visible, prep.radii, pkg,
+                jnp.asarray(False))
 
     spec_rep = P()
     # jit the shard_map program: called eagerly it would dispatch the inner
@@ -323,11 +325,13 @@ def sharded_render_images(
     fn = jax.jit(shard_map(
         inner, mesh=mesh,
         in_specs=(spec_rep, spec_rep, spec_rep),
-        out_specs=(P(axis), P(axis), spec_rep, spec_rep, spec_rep),
+        out_specs=(P(axis), P(axis), spec_rep, spec_rep, spec_rep,
+                   spec_rep),
         check_vma=False))
     if screen_offset is None:
         screen_offset = jnp.zeros((params.capacity, 2), dtype=jnp.float32)
-    slabs, ts, visible, radii, pkg = fn(params, state, screen_offset)
+    slabs, ts, visible, radii, pkg, ex_overflow = fn(
+        params, state, screen_offset)
 
     H, W = settings.image_height, settings.image_width
     ch = slabs.shape[-1]
@@ -362,6 +366,10 @@ def sharded_render_images(
         "img_semantic": img_sem,
         "radii": radii,
         "visibility_filter": radii > 0,
+        # True when the fixed per-pair exchange capacity dropped rows —
+        # callers grow exchange_capacity the way the trainer grows the
+        # instance capacity (always False on the all-gather path)
+        "exchange_overflow": ex_overflow,
         **pkg,
     }
 
