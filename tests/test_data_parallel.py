@@ -18,7 +18,11 @@ from tests import scene_fixtures as fx
 from tests.test_models_ops import tiny_model
 
 
-def test_dp_step_matches_mean_of_cameras(rng):
+import pytest
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_dp_step_matches_mean_of_cameras(rng, backend):
     mesh = make_mesh({"data": 8})
     params, state, cfg, _ = tiny_model(rng, n=80, quantum=128)
     env = EnvironmentMap.create(resolution=16)
@@ -28,7 +32,7 @@ def test_dp_step_matches_mean_of_cameras(rng):
                              lambda_sigma=0.0, lambda_reg=0.0,
                              lambda_sigma_reg=0.0)
     kw = dict(frame_gap=0.05, scene_extent=10.0, cameras_extent=10.0,
-              capacity=1 << 12, max_per_tile=128)
+              capacity=1 << 12, max_per_tile=128, backend=backend)
 
     cams, batches, rays = [], [], []
     for b in range(8):
