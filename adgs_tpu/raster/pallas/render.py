@@ -22,7 +22,8 @@ row-major [R, 16] array cannot be hand-DMA'd in chunks at all).
     evaluating the polynomial in global pixel coordinates would cancel
     catastrophically in f32);
   - alpha/weights: [CHUNK, P] — instances on sublanes, P=256 tile pixels
-    on lanes; front-to-back prefix sums are sublane-axis log-step rolls;
+    on lanes; front-to-back transmittance is a sublane-axis prefix PRODUCT
+    (log-step rolls), carried linearly like forward.cu's running T;
   - per-pixel accumulators: [CHo, P] via dot(feats [CHo,CHUNK],
     w [CHUNK,P], contract instances) on the MXU.
 
@@ -73,7 +74,7 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-LOG_TEPS = float(np.log(1e-4))
+T_EPS = 1e-4
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 LOG_ALPHA_MAX = float(np.log(ALPHA_MAX))
@@ -196,32 +197,48 @@ def _sub_cumsum(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def _chunk_weights(alpha, log_t_raw, log_t_eff):
-    """Replicates composite.blend_weights for one block in log space.
+def _sub_cumprod(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumulative PRODUCT along the sublane axis (same log-step
+    roll scheme as _sub_cumsum with multiplicative identity)."""
+    n = x.shape[0]
+    sub = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    k = 1
+    while k < n:
+        shifted = pltpu.roll(x, shift=k, axis=0)
+        x = x * jnp.where(sub >= k, shifted, 1.0)
+        k *= 2
+    return x
 
-    alpha: [CHUNK, P] front-to-back along sublanes; carries: [1, P].
-    Returns (w, new_raw, new_eff, (a_eff, log_t_excl, include)) with
-    include = raw running product >= 1e-4.
 
-    include is a PREFIX property per pixel (the raw log-product only
-    decreases), so the effective product equals the raw one until the
-    termination instance and FREEZES there — one min-reduce over the
-    included raw values replaces a second 8-step log-roll cumsum (the
-    rolls are the kernel's main VPU cost). Bitwise-identical to the
-    two-cumsum form: pre-freeze positions share the same summation tree,
-    and post-freeze values only ever multiply zeroed weights."""
-    log1m = jnp.log1p(-alpha)
-    cum_raw = _sub_cumsum(log1m) + log_t_raw
-    include = (cum_raw >= LOG_TEPS) & (log_t_raw >= LOG_TEPS)
+def _chunk_weights(alpha, t_raw, t_eff):
+    """Replicates composite.blend_weights for one block, MULTIPLICATIVELY
+    (forward.cu carries T as a plain f32 product, :336,361 — the log-space
+    form costs a log1p + an exp per instance-pixel, the two hottest VPU ops
+    in both kernels; the product form matches the reference's own numerics).
+
+    alpha: [CHUNK, P] front-to-back along sublanes; carries t_raw / t_eff:
+    [1, P] linear transmittances entering this block. Returns
+    (w, new_raw, new_eff, (a_eff, t_excl, include)) with include = raw
+    running product >= 1e-4.
+
+    include is a PREFIX property per pixel (the raw product only decreases),
+    so the effective product equals the raw one until the termination
+    instance and FREEZES there — one min-reduce over the included raw
+    values replaces a second prefix pass. Underflow past ~1e-38 flushes the
+    raw product to zero, which is exact here: by then every gate compare
+    (>= 1e-4) and every weight it could feed is already zero."""
+    one_m = 1.0 - alpha
+    cum_raw = _sub_cumprod(one_m) * t_raw
+    include = (cum_raw >= T_EPS) & (t_raw >= T_EPS)
     a_eff = jnp.where(include, alpha, 0.0)
-    log1m_eff = jnp.where(include, log1m, 0.0)
-    freeze = jnp.minimum(
+    # exclusive product = inclusive shifted down one instance, t_raw first
+    sub0 = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 0) == 0
+    t_excl = jnp.where(sub0, t_raw, pltpu.roll(cum_raw, shift=1, axis=0))
+    w = a_eff * t_excl
+    new_eff = jnp.minimum(
         jnp.min(jnp.where(include, cum_raw, jnp.inf), axis=0, keepdims=True),
-        log_t_eff)
-    cum_eff = jnp.where(include, cum_raw, freeze)
-    log_t_excl = cum_eff - log1m_eff
-    w = a_eff * jnp.exp(log_t_excl)
-    return w, cum_raw[-1:, :], cum_eff[-1:, :], (a_eff, log_t_excl, include)
+        t_eff)
+    return w, cum_raw[-1:, :], new_eff, (a_eff, t_excl, include)
 
 
 def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref,
@@ -249,11 +266,11 @@ def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref,
         get_dma(0, 0).start()
 
     def cond(state):
-        c, log_t_raw, _, _ = state
-        return (c < nchunks) & (jnp.max(log_t_raw) >= LOG_TEPS)
+        c, t_raw, _, _ = state
+        return (c < nchunks) & (jnp.max(t_raw) >= T_EPS)
 
     def body(state):
-        c, log_t_raw, log_t_eff, accum = state
+        c, t_raw, t_eff, accum = state
 
         @pl.when(c + 1 < nchunks)
         def _():
@@ -271,19 +288,18 @@ def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref,
             coef_p, basis, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         alpha = _alpha_from_powers(powerop, power, valid)
-        w, log_t_raw, log_t_eff, _ = _chunk_weights(alpha, log_t_raw,
-                                                    log_t_eff)
+        w, t_raw, t_eff, _ = _chunk_weights(alpha, t_raw, t_eff)
         feats = geom[F_GEOM:F_GEOM + ch, :]                # [CHo, CHUNK]
         accum = accum + jax.lax.dot_general(
             feats, w, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # [CHo, P]
-        return c + 1, log_t_raw, log_t_eff, accum
+        return c + 1, t_raw, t_eff, accum
 
     init = (jnp.int32(0),
-            jnp.zeros((1, P), jnp.float32),
-            jnp.zeros((1, P), jnp.float32),
+            jnp.ones((1, P), jnp.float32),
+            jnp.ones((1, P), jnp.float32),
             jnp.zeros((ch, P), jnp.float32))
-    c_end, _, log_t_eff, accum = jax.lax.while_loop(cond, body, init)
+    c_end, _, t_eff, accum = jax.lax.while_loop(cond, body, init)
 
     # early exit leaves one prefetched DMA in flight; drain it so the
     # scratch semaphore is clean for the next grid step
@@ -292,7 +308,7 @@ def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref,
         get_dma(c_end % 2, c_end).wait()
 
     out_ref[0, :ch, :] = accum
-    out_ref[0, ch:ch + 1, :] = jnp.exp(log_t_eff)
+    out_ref[0, ch:ch + 1, :] = t_eff
 
 
 def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
@@ -318,8 +334,8 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
     nchunks = jnp.where(cnt > 0, pl.cdiv(start + cnt - start_al, CHUNK), 0)
 
     def cond(state):
-        c, log_t_raw, _, _ = state
-        return (c < nchunks) & (jnp.max(log_t_raw) >= LOG_TEPS)
+        c, t_raw, _, _ = state
+        return (c < nchunks) & (jnp.max(t_raw) >= T_EPS)
 
     def get_dma(slot, c):
         return pltpu.make_async_copy(
@@ -336,7 +352,7 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
             grad_hbm.at[:, pl.ds(start_al, CHUNK)], rbuf, rsem).start()
 
     def body(state):
-        c, log_t_raw, log_t_eff, prefix = state
+        c, t_raw, t_eff, prefix = state
 
         @pl.when(c + 1 < nchunks)
         def _():
@@ -354,8 +370,8 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
             coef_p, basis, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         alpha = _alpha_from_powers(powerop, power, valid)
-        w, new_raw, new_eff, (a_eff, log_t_excl, include) = _chunk_weights(
-            alpha, log_t_raw, log_t_eff)
+        w, new_raw, new_eff, (a_eff, t_excl, include) = _chunk_weights(
+            alpha, t_raw, t_eff)
 
         feats = geom[F_GEOM:F_GEOM + ch, :]                # [CHo, CHUNK]
         # fg[j, pix] = f_j . g  -> [CHUNK, P]
@@ -364,7 +380,6 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
             preferred_element_type=jnp.float32)
         b = w * fg
         prefix_incl = _sub_cumsum(b) + prefix
-        t_excl = jnp.exp(log_t_excl)
         inv1m = 1.0 / (1.0 - a_eff)
         # dT_final/dalpha_j = -T_final/(1-alpha_j): the kernel's T output
         # is the transmittance itself (the wrapper forms opacity = 1 - T)
@@ -438,8 +453,8 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
         return c + 1, new_raw, new_eff, prefix_incl[-1:, :]
 
     init = (jnp.int32(0),
-            jnp.zeros((1, P), jnp.float32),
-            jnp.zeros((1, P), jnp.float32),
+            jnp.ones((1, P), jnp.float32),
+            jnp.ones((1, P), jnp.float32),
             jnp.zeros((1, P), jnp.float32))
     c_end, _, _, _ = jax.lax.while_loop(cond, body, init)
 
