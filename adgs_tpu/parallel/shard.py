@@ -88,7 +88,9 @@ def _render_local_slab(prep: Preprocessed, settings: RasterSettings,
     local = _local_settings(settings, rows_per_dev)
     row0 = jax.lax.axis_index(axis) * rows_per_dev
     wprep = _window_prep(prep, local, row0)
-    b = binning_lib.bin_gaussians(wprep, local, capacity=capacity)
+    # shard_map body, never vmapped — safe for the pallas/auto expander
+    b = binning_lib.bin_gaussians(wprep, local, capacity=capacity,
+                                  expander="auto")
 
     feats = [wprep.rgb, composite_lib.depth_feature(
         wprep.depth, settings.inv_depth)[:, None]]

@@ -101,7 +101,17 @@ def quantize_depth(depth: jnp.ndarray, num_tiles: int) -> jnp.ndarray:
 
 
 def bin_gaussians(prep: Preprocessed, settings: RasterSettings,
-                  capacity: int) -> Binning:
+                  capacity: int, expander: str = "xla") -> Binning:
+    """expander: "xla" (scatter+cumsum+gather), "pallas" (windowed one-hot
+    MXU kernel, raster/pallas/expand.py), or "auto" (pallas with a runtime
+    lax.cond fallback to xla when the static gaussian window cannot cover
+    some slot block — see expand.window_starts).
+
+    The default stays "xla" because this function is vmapped by the
+    data-parallel batch step (vmap turns the cond into a both-branches
+    select and scalar-prefetch pallas_calls don't batch); the staged
+    single-camera entries (render.compute_binning, parallel/shard.py,
+    bench.py) pass "auto" explicitly."""
     capacity = -(-capacity // INSTANCE_ALIGN) * INSTANCE_ALIGN
     N = prep.tiles_touched.shape[0]
     num_tiles = settings.num_tiles
@@ -123,46 +133,79 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings,
     offsets = cumsum_mxu(tiles)                     # inclusive prefix sum
     num_rendered = offsets[-1]
     overflow = num_rendered > capacity
-
-    slot = jnp.arange(capacity, dtype=jnp.int32)
-    # inverse of the prefix sum WITHOUT searchsorted: the query set is the
-    # (already sorted) slot range, so the gaussian id per slot is a
-    # scatter of +1 at each gaussian's start offset followed by a cumsum —
-    # ~5x faster than searchsorted on TPU (empty gaussians collapse onto
-    # the same offset and accumulate, which skips them exactly).
     starts = offsets - tiles                        # exclusive prefix sum
-    # starts is non-decreasing — the sorted-indices hint keeps the scatter
-    # on its fast path
-    bump = jnp.zeros(capacity, jnp.int32).at[starts].add(
-        jnp.ones_like(starts, jnp.int32), mode="drop",
-        indices_are_sorted=True)
-    gid = cumsum_mxu(bump) - 1
-    valid = slot < num_rendered
-    gid = jnp.clip(gid, 0, max(N - 1, 0))
-
-    # pack the per-gaussian lookups into one row-gather and isolate it
-    # with a barrier: gathers embedded in elementwise fusions fall off the
-    # fast dynamic-gather path and scalarize (profiled ~10x slower)
     d_bits = depth_bits_for(num_tiles)
     depth_q = quantize_depth(prep.depth, num_tiles).astype(jnp.int32)
-    table = jnp.stack([starts,
-                       prep.rect_min[:, 0], prep.rect_min[:, 1],
-                       prep.rect_max[:, 0], depth_q], axis=-1)
-    gid = jax.lax.optimization_barrier(gid)
-    g_rows = jax.lax.optimization_barrier(table[gid])
-    excl = g_rows[:, 0]
-    local = slot - excl
-    rect_w = jnp.maximum(g_rows[:, 3] - g_rows[:, 1], 1)
-    # data-dependent integer div/mod is slow on the VPU; local and rect_w
-    # are far below 2^23 so f32 division is exact after floor
-    ly = jnp.floor(local.astype(jnp.float32)
-                   / rect_w.astype(jnp.float32)).astype(jnp.int32)
-    lx = local - ly * rect_w
-    ty = g_rows[:, 2] + ly
-    tx = g_rows[:, 1] + lx
-    tile = jnp.where(valid, ty * grid_x + tx, num_tiles).astype(jnp.uint32)
-    key = (tile << jnp.uint32(d_bits)) | g_rows[:, 4].astype(jnp.uint32)
 
+    def _expand_xla():
+        slot = jnp.arange(capacity, dtype=jnp.int32)
+        # inverse of the prefix sum WITHOUT searchsorted: the query set is
+        # the (already sorted) slot range, so the gaussian id per slot is a
+        # scatter of +1 at each gaussian's start offset followed by a
+        # cumsum — ~5x faster than searchsorted on TPU (empty gaussians
+        # collapse onto the same offset and accumulate, skipping them
+        # exactly). starts is non-decreasing — the sorted-indices hint
+        # keeps the scatter on its fast path.
+        bump = jnp.zeros(capacity, jnp.int32).at[starts].add(
+            jnp.ones_like(starts, jnp.int32), mode="drop",
+            indices_are_sorted=True)
+        gid = cumsum_mxu(bump) - 1
+        valid = slot < num_rendered
+        gid = jnp.clip(gid, 0, max(N - 1, 0))
+
+        # pack the per-gaussian lookups into one row-gather and isolate it
+        # with a barrier: gathers embedded in elementwise fusions fall off
+        # the fast dynamic-gather path and scalarize (profiled ~10x slower)
+        table = jnp.stack([starts,
+                           prep.rect_min[:, 0], prep.rect_min[:, 1],
+                           prep.rect_max[:, 0], depth_q], axis=-1)
+        gid_b = jax.lax.optimization_barrier(gid)
+        g_rows = jax.lax.optimization_barrier(table[gid_b])
+        excl = g_rows[:, 0]
+        local = slot - excl
+        rect_w = jnp.maximum(g_rows[:, 3] - g_rows[:, 1], 1)
+        # data-dependent integer div/mod is slow on the VPU; local and
+        # rect_w are far below 2^23 so f32 division is exact after floor
+        ly = jnp.floor(local.astype(jnp.float32)
+                       / rect_w.astype(jnp.float32)).astype(jnp.int32)
+        lx = local - ly * rect_w
+        ty = g_rows[:, 2] + ly
+        tx = g_rows[:, 1] + lx
+        tile = jnp.where(valid, ty * grid_x + tx,
+                         num_tiles).astype(jnp.uint32)
+        key = (tile << jnp.uint32(d_bits)) | g_rows[:, 4].astype(jnp.uint32)
+        # padding keys keep the clamped gaussian's depth bits (harmless —
+        # tile == num_tiles sorts them last either way); zero them so the
+        # pallas expander (which emits zero depth bits on padding) is
+        # bitwise-interchangeable under the auto fallback
+        key = jnp.where(valid, key,
+                        jnp.uint32(num_tiles) << jnp.uint32(d_bits))
+        gid = jnp.where(valid, gid, 0)
+        return key, gid
+
+    if expander != "xla" and N > 0:
+        from .pallas import expand as expand_lib
+    if (expander != "xla" and N > 0
+            and capacity % expand_lib.BLK == 0):
+        tbl = expand_lib.build_table(starts, offsets, prep.rect_min,
+                                     prep.rect_max, depth_q)
+        g_base, windows_ok = expand_lib.window_starts(offsets, starts,
+                                                      capacity)
+        # the f32 table is exact only below 2^24 (counts, ids)
+        windows_ok &= (num_rendered < (1 << 24)) & (N < (1 << 24))
+
+        def _expand_pallas():
+            return expand_lib.expand_pallas(tbl, g_base, capacity, grid_x,
+                                            d_bits, num_tiles)
+
+        if expander == "pallas":
+            key, gid = _expand_pallas()
+        else:
+            key, gid = jax.lax.cond(windows_ok, _expand_pallas, _expand_xla)
+    else:
+        key, gid = _expand_xla()
+
+    slot = jnp.arange(capacity, dtype=jnp.int32)
     key_s, gid_s, slot_s = jax.lax.sort(
         (key, gid, slot), num_keys=1, is_stable=True)
     tile_s = (key_s >> jnp.uint32(d_bits)).astype(jnp.int32)

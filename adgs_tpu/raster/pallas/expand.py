@@ -1,0 +1,185 @@
+"""Pallas instance-expansion kernel (duplicateWithKeys analog).
+
+Replaces the XLA scatter+cumsum+row-gather expansion in binning.py with one
+grid program per BLK-slot block that resolves slot->Gaussian membership as a
+one-hot MXU matmul — the same trick as the gradient segment-reduce kernel
+(render.py), run in the opposite direction:
+
+  - program c owns instance slots [c*BLK, (c+1)*BLK); the Gaussians whose
+    presort spans [start_g, start_g + tiles_g) intersect that range live in
+    a contiguous index window (expansion spans are sorted), whose aligned
+    start is scalar-prefetched;
+  - membership member[s, g] = (pos_s >= excl_g) & (pos_s < incl_g) is a
+    broadcast compare of a sublane slot iota against the lane-major table
+    rows — every slot matches EXACTLY one Gaussian (spans partition the
+    slot range), so gathering the per-Gaussian columns is
+        val = tbl [F, GW] . member^T  ->  [F, BLK]
+    one f32 matmul instead of the [R, 5]-row gather that dominates the XLA
+    path (narrow row gathers crawl at ~80M rows/s on TPU, PERF.md);
+  - the (tile | depth) sort key is then a few [1, BLK] lane-row integer ops
+    (rasterizer_impl.cu:70-111 key semantics, exact float tile math as
+    preprocess.get_rect).
+
+The Gaussian window per block is bounded by BLK + 1 NON-EMPTY Gaussians but
+unboundedly many empty (culled) ones can interleave; callers must check
+window_spans_ok() and fall back to the XLA expansion (binning.py) via
+lax.cond when the static window cannot cover a block — and when any count
+exceeds f32's exact-integer range (2^24), where the f32 table would round.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+BLK = 512        # instance slots per program
+GW = 1024        # gaussian window columns (covers BLK+1 live gaussians at
+#                  >= 1/2 live density; window_spans_ok guards the rest)
+GALIGN = 128     # window start alignment (Mosaic lane-slice rule)
+F_TBL = 8        # table rows: excl, incl, rmin_x, rmin_y, rect_w,
+#                  dq_hi, dq_lo, gauss_index  (+ ones row would exceed 8;
+#                  validity = incl > pos matched, see kernel)
+
+_R_EXCL, _R_INCL, _R_RMX, _R_RMY, _R_RW, _R_DQH, _R_DQL, _R_GID = range(8)
+
+
+def _expand_kernel(g_base, tbl_hbm, key_ref, gid_ref, buf, sem, *,
+                   grid_x: int, d_bits: int, num_tiles: int, nblocks: int):
+    c = pl.program_id(0)
+    base = pl.multiple_of(g_base[c], GALIGN)
+
+    def get_dma(slot, blk):
+        return pltpu.make_async_copy(
+            tbl_hbm.at[:, pl.ds(pl.multiple_of(g_base[blk], GALIGN), GW)],
+            buf.at[slot], sem.at[slot])
+
+    # cross-grid-step double buffering: the window for block c+1 was started
+    # during block c (the grid is sequential); block 0 fetches its own
+    @pl.when(c == 0)
+    def _():
+        get_dma(0, 0).start()
+
+    @pl.when(c + 1 < nblocks)
+    def _():
+        get_dma((c + 1) % 2, c + 1).start()
+
+    get_dma(c % 2, c).wait()
+    tbl = buf[c % 2]                                       # [F_TBL, GW]
+
+    pos_sub = (jax.lax.broadcasted_iota(jnp.int32, (BLK, 1), 0)
+               + c * BLK).astype(jnp.float32)              # [BLK, 1]
+    excl = tbl[_R_EXCL:_R_EXCL + 1, :]                     # [1, GW]
+    incl = tbl[_R_INCL:_R_INCL + 1, :]
+    member = ((pos_sub >= excl) & (pos_sub < incl)).astype(jnp.float32)
+    # val[f, s] = sum_g tbl[f, g] * member[s, g] — gather-as-matmul
+    val = jax.lax.dot_general(
+        tbl, member, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [F_TBL, BLK]
+
+    pos = (jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
+           + c * BLK).astype(jnp.float32)                  # [1, BLK]
+    # a slot is live iff some span matched: then its incl column > pos
+    valid = val[_R_INCL:_R_INCL + 1, :] > pos
+    local = pos - val[_R_EXCL:_R_EXCL + 1, :]
+    rw = jnp.maximum(val[_R_RW:_R_RW + 1, :], 1.0)
+    # exact: local < tiles_g <= num_tiles << 2^23 (see binning.py)
+    ly = jnp.floor(local / rw)
+    lx = local - ly * rw
+    ty = val[_R_RMY:_R_RMY + 1, :] + ly
+    tx = val[_R_RMX:_R_RMX + 1, :] + lx
+    tile = jnp.where(valid, (ty * grid_x + tx),
+                     jnp.float32(num_tiles)).astype(jnp.int32)
+    dq = (val[_R_DQH:_R_DQH + 1, :].astype(jnp.int32) * 16384
+          + val[_R_DQL:_R_DQL + 1, :].astype(jnp.int32))
+    dq = jnp.where(valid, dq, 0)
+    key = (tile.astype(jnp.uint32) << jnp.uint32(d_bits)) | dq.astype(
+        jnp.uint32)
+    gid = jnp.where(valid, val[_R_GID:_R_GID + 1, :], 0.0).astype(jnp.int32)
+    key_ref[0] = key
+    gid_ref[0] = gid
+
+
+def build_table(starts: jnp.ndarray, offsets: jnp.ndarray,
+                rect_min: jnp.ndarray, rect_max: jnp.ndarray,
+                depth_q: jnp.ndarray) -> jnp.ndarray:
+    """[F_TBL, N_pad] f32 component-major per-Gaussian table (lane-major
+    rows so the kernel's membership compare needs no transpose). All values
+    are integers below 2^24, exact in f32 (callers gate on that)."""
+    n = starts.shape[0]
+    n_pad = max(-(-n // GALIGN) * GALIGN, GW) + GW
+    rw = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
+    rows = jnp.stack([
+        starts, offsets, rect_min[:, 0], rect_min[:, 1], rw,
+        depth_q >> 14, depth_q & 0x3FFF,
+        jnp.arange(n, dtype=jnp.int32)], axis=0).astype(jnp.float32)
+    # pad columns read "empty span at num_rendered": excl == incl == total
+    total = offsets[-1].astype(jnp.float32)
+    pad = jnp.zeros((F_TBL, n_pad - n), jnp.float32)
+    pad = pad.at[_R_EXCL].set(total).at[_R_INCL].set(total)
+    return jnp.concatenate([rows, pad], axis=1)
+
+
+def window_starts(offsets: jnp.ndarray, starts: jnp.ndarray,
+                  capacity: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Aligned per-block gaussian-window starts + coverage flag.
+
+    g_lo(c) = first gaussian whose span reaches past c*BLK;
+    g_hi(c) = one past the last gaussian starting before (c+1)*BLK.
+    The static [base, base+GW) window covers every block iff
+    g_hi <= base + GW for all blocks (base = g_lo aligned down)."""
+    nblocks = capacity // BLK
+    qs = jnp.arange(nblocks, dtype=jnp.int32) * BLK
+    g_lo = jnp.searchsorted(offsets, qs, side="right").astype(jnp.int32)
+    g_hi = jnp.searchsorted(starts, qs + BLK, side="left").astype(jnp.int32)
+    n = offsets.shape[0]
+    n_pad = max(-(-n // GALIGN) * GALIGN, GW) + GW
+    base = jnp.clip((g_lo // GALIGN) * GALIGN, 0, n_pad - GW)
+    ok = jnp.all(g_hi <= base + GW)
+    return base, ok
+
+
+def expand_pallas(tbl: jnp.ndarray, g_base: jnp.ndarray, capacity: int,
+                  grid_x: int, d_bits: int,
+                  num_tiles: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """-> (key [capacity] u32, gid [capacity] i32) in presort order."""
+    assert capacity % BLK == 0
+    nblocks = capacity // BLK
+    kernel = functools.partial(_expand_kernel, grid_x=grid_x, d_bits=d_bits,
+                               num_tiles=num_tiles, nblocks=nblocks)
+    key, gid = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=[
+                # unit middle axis: the VMEM block's trailing dims must
+                # equal the array's trailing dims (Mosaic block rule)
+                pl.BlockSpec((1, 1, BLK), lambda c, *_: (c, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, BLK), lambda c, *_: (c, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, F_TBL, GW), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((nblocks, 1, BLK), jnp.uint32),
+            jax.ShapeDtypeStruct((nblocks, 1, BLK), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=_interpret(),
+    )(g_base, tbl)
+    return key.reshape(capacity), gid.reshape(capacity)

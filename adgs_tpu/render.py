@@ -54,11 +54,16 @@ def compute_binning(
     inv_depth: bool = True,
     scaling_modifier: float = 1.0,
     capacity: int = 1 << 18,
+    expander: str = "auto",
 ):
     """The non-differentiable half of a render: deform + preprocess + tile
     binning. Jit this separately and feed the result to render(...,
     precomputed_binning=...) — the preprocess is recomputed inside the
-    differentiable step (deterministic, same values)."""
+    differentiable step (deterministic, same values).
+
+    expander="auto" runs the windowed one-hot Pallas expansion with a
+    runtime fallback to the XLA path (raster/binning.py docstring); this
+    staged entry is never vmapped, so the lax.cond stays a real branch."""
     from .raster import binning as binning_lib
     from .raster import preprocess as prep_lib
 
@@ -72,7 +77,8 @@ def compute_binning(
     prep = prep_lib.preprocess(
         pkg["xyz"], activated_scaling(params), pkg["rotation"],
         pkg["opacity"], None, settings, active_mask=state.alive)
-    return binning_lib.bin_gaussians(prep, settings, capacity=capacity)
+    return binning_lib.bin_gaussians(prep, settings, capacity=capacity,
+                                     expander=expander)
 
 
 def make_staged_render_fn(config: GaussianConfig,

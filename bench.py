@@ -202,7 +202,8 @@ def main():
                 p["means3d"], p["scales"], p["rotations"], p["opacities"],
                 None, settings)
             return binning_lib.bin_gaussians(prep, settings,
-                                             capacity=CAPACITY)
+                                             capacity=CAPACITY,
+                                             expander="auto")
 
         def loss_fn(p, b):
             prep = prep_lib.preprocess(
