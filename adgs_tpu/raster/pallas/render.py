@@ -695,28 +695,27 @@ def _composite_bwd(ch, num_tiles, grid_x, residuals, g):
 
     # permute sorted-order grad columns back to the PRESORT gaussian-major
     # order (instances contiguous per Gaussian). Two fast-path tricks
-    # (PERF.md round-2 measurements):
-    #   - narrow-row gathers crawl at ~80M rows/s while 128-lane f32 rows
-    #     ride a ~300 GB/s DMA path, and a [*,16] f32 array is already
-    #     PHYSICALLY 128 lanes in HBM — so transpose+pad to [R_pad, 128],
-    #     gather, slice (19.7ms vs 58ms for the scatter+T+gather+T chain);
+    # (PERF.md round-2 measurements, exp/lab_rowmajor.py):
+    #   - a narrow [R,16] row gather whose output feeds DIRECTLY into a
+    #     transpose is the fastest permute form on TPU (13.4ms at 2M rows)
+    #     — faster than the standalone narrow gather (~27ms, row-rate
+    #     wall) and than padding to 128 lanes and gathering wide (17.3ms);
     #   - the inverse permutation comes from a 1-key sort (3.9ms vs 13.6ms
     #     for a scatter-set): slot_sorted holds every rendered presort slot
     #     exactly once (sentinel R for padding, sorting last), so sorting
     #     it ascending with a position payload yields at position p the
     #     SORTED index of presort slot p. Never-rendered slots land on
     #     positions the kernel never wrote (zeros via the aliased init).
-    g_cols = grad_cm.shape[0]
     R_seg = -(-R // SEG_C) * SEG_C + SEG_C
     _, inv = jax.lax.sort(
         (slot_sorted, jnp.arange(R, dtype=jnp.int32)), num_keys=1,
         is_stable=False)
     inv = jnp.concatenate([inv, jnp.full((R_seg - R,), R, jnp.int32)])
-    grad_rm = jnp.pad(grad_cm.T, ((0, 0), (0, max(0, 128 - g_cols))))
+    grad_rm = grad_cm.T                                   # [R_pad, Gc]
     inv = jax.lax.optimization_barrier(inv)
     gm_rows = jax.lax.optimization_barrier(
-        jax.lax.optimization_barrier(grad_rm)[inv])       # [R_seg, 128]
-    gm_cm = jax.lax.optimization_barrier(gm_rows)[:, :g_cols].T
+        jax.lax.optimization_barrier(grad_rm)[inv])       # [R_seg, Gc]
+    gm_cm = gm_rows.T                                     # [Gc, R_seg]
 
     per = segment_reduce_contiguous(gm_cm, gauss_start, num_rendered,
                                     n_gauss)

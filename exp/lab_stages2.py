@@ -161,11 +161,11 @@ def main():
             (bb.slot_sorted, jnp.arange(R, dtype=jnp.int32)), num_keys=1,
             is_stable=False)
         inv = jnp.concatenate([inv, jnp.full((R_seg - R,), R, jnp.int32)])
-        grad_rm = jnp.pad(gcm.T, ((0, 0), (0, max(0, 128 - g_cols))))
+        grad_rm = gcm.T
         inv = jax.lax.optimization_barrier(inv)
         gm_rows = jax.lax.optimization_barrier(
             jax.lax.optimization_barrier(grad_rm)[inv])
-        gm_cm = jax.lax.optimization_barrier(gm_rows)[:, :g_cols].T
+        gm_cm = gm_rows.T
         return pal.segment_reduce_contiguous(gm_cm, bb.gauss_start,
                                              bb.num_rendered, N_GAUSS)
     chain_time("grad permute + segment reduce", permute_reduce, grad_cm, b)
