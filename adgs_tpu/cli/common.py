@@ -33,7 +33,7 @@ class ModelConfig:
     inv_depth: bool = True
 
     # renderer/runtime knobs (TPU-specific)
-    backend: str = "xla"
+    backend: str = "auto"
     capacity: int = 1 << 19
     max_per_tile: int = 4096
     chunk: int = 64

@@ -14,22 +14,36 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=None)
-def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
+def _gaussian_1d(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
     g = np.exp(-((np.arange(window_size) - window_size // 2) ** 2)
                / (2 * sigma ** 2))
-    g = g / g.sum()
-    w = np.outer(g, g).astype(np.float32)
-    return w
+    return (g / g.sum()).astype(np.float32)
 
 
-def _depthwise_filter(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """[B, C, H, W] same-padded per-channel 2D filter."""
+@functools.lru_cache(maxsize=None)
+def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    g = _gaussian_1d(window_size, sigma)
+    return np.outer(g, g).astype(np.float32)
+
+
+def _depthwise_filter(img: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
+    """[B, C, H, W] same-(zero-)padded per-channel 11x11 Gaussian filter.
+
+    The reference convolves the full outer-product window
+    (utils/loss_utils.py:26-66); the window is separable, so two 1D passes
+    (11+11 taps instead of 121) produce the same result — and the batched
+    quantities (img1, img2, img1^2, img2^2, img1*img2) ride one conv pair.
+    """
     C = img.shape[1]
-    k = jnp.asarray(window)[None, None].repeat(C, axis=0)  # [C,1,kh,kw]
+    g = jnp.asarray(_gaussian_1d(window_size))
+    kv = jnp.broadcast_to(g[None, None, :, None], (C, 1, window_size, 1))
+    kh = jnp.broadcast_to(g[None, None, None, :], (C, 1, 1, window_size))
+    out = jax.lax.conv_general_dilated(
+        img, kv, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=C)
     return jax.lax.conv_general_dilated(
-        img, k, window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=C)
+        out, kh, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=C)
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11
@@ -38,13 +52,16 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11
     if img1.ndim == 3:
         img1 = img1[None]
         img2 = img2[None]
-    w = _gaussian_window(window_size)
-    mu1 = _depthwise_filter(img1, w)
-    mu2 = _depthwise_filter(img2, w)
+    # one fused conv pair over the 5 filtered quantities
+    stacked = jnp.concatenate(
+        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=1)
+    f = _depthwise_filter(stacked, window_size)
+    C = img1.shape[1]
+    mu1, mu2 = f[:, :C], f[:, C:2 * C]
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _depthwise_filter(img1 * img1, w) - mu1_sq
-    sigma2_sq = _depthwise_filter(img2 * img2, w) - mu2_sq
-    sigma12 = _depthwise_filter(img1 * img2, w) - mu1_mu2
+    sigma1_sq = f[:, 2 * C:3 * C] - mu1_sq
+    sigma2_sq = f[:, 3 * C:4 * C] - mu2_sq
+    sigma12 = f[:, 4 * C:5 * C] - mu1_mu2
     C1, C2 = 0.01 ** 2, 0.03 ** 2
     ssim_map = (((2 * mu1_mu2 + C1) * (2 * sigma12 + C2))
                 / ((mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)))

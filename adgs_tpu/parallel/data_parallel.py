@@ -55,7 +55,12 @@ def make_dp_train_step(
     backend: str = "xla",
 ):
     """step(params, env, opt_state, state, cameras[B], batches[B], rays[B],
-    iteration, active_sh_degree) with the B axis sharded over `axis`."""
+    iteration, active_sh_degree) with the B axis sharded over `axis`.
+
+    backend defaults to "xla" (not "auto"): this step vmaps the render,
+    and the Mosaic scalar-prefetch pallas_calls' batching path is only
+    exercised in interpreter mode by tests/test_data_parallel.py — opt in
+    to "pallas" explicitly when running it compiled."""
 
     render_objmask = opt.lambda_obj > 0.0
     batch_sharding = NamedSharding(mesh, P(axis))

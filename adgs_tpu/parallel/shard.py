@@ -82,7 +82,7 @@ def _render_local_slab(prep: Preprocessed, settings: RasterSettings,
                        rows_per_dev: int, axis: str,
                        flow_points, semantic,
                        capacity: int, max_per_tile: int, chunk: int,
-                       backend: str = "xla"):
+                       backend: str = "auto"):
     """Per-device: window, bin, composite the local slab. Returns
     ([rows*TILE_Y, W_padded, CH] slab features, [rows*TILE_Y, W_padded] T)."""
     local = _local_settings(settings, rows_per_dev)
@@ -101,7 +101,8 @@ def _render_local_slab(prep: Preprocessed, settings: RasterSettings,
     features = jnp.concatenate(feats, axis=-1)
     opac = jnp.where(wprep.visible, wprep.opacity, 0.0)
 
-    if backend == "pallas":
+    from ..raster.api import resolve_backend
+    if resolve_backend(backend) == "pallas":
         from ..raster.pallas import render as pallas_lib
         out = pallas_lib.composite_tiles_pallas(
             b, wprep.mean2d, wprep.conic, opac, features, local)
@@ -192,7 +193,7 @@ def sharded_render_images(
     shard_primitives: bool = True,
     primitive_exchange: bool = False,
     exchange_capacity: Optional[int] = None,
-    backend: str = "xla",
+    backend: str = "auto",
 ) -> dict:
     """Full multi-device render returning the same dict as render().
 
@@ -392,7 +393,7 @@ def make_sharded_train_step(
     max_per_tile: int = 2048,
     chunk: int = 32,
     inv_depth: bool = True,
-    backend: str = "xla",
+    backend: str = "auto",
     primitive_exchange: bool = False,
 ):
     """Sharded analog of train.step.make_train_step: one jitted multi-device

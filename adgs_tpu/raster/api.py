@@ -28,6 +28,16 @@ from . import tiled as tiled_lib
 from .types import RasterSettings, RasterOutput
 
 
+def resolve_backend(backend: str) -> str:
+    """"auto" picks the Mosaic kernel tier on TPU and the portable XLA
+    scan tier elsewhere (the Pallas kernels only run interpreted off-TPU,
+    which is a test vehicle, not a production path)."""
+    if backend == "auto":
+        import jax
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return backend
+
+
 def rasterize(
     means3d: jnp.ndarray,
     opacities: jnp.ndarray,
@@ -40,7 +50,7 @@ def rasterize(
     semantic: Optional[jnp.ndarray] = None,
     screen_offset: Optional[jnp.ndarray] = None,
     active_mask: Optional[jnp.ndarray] = None,
-    backend: str = "xla",
+    backend: str = "auto",
     capacity: int = 1 << 18,
     max_per_tile: int = 2048,
     chunk: int = 32,
@@ -52,6 +62,7 @@ def rasterize(
     bounded on TPU."""
     if shs is None and colors_precomp is None:
         raise ValueError("either shs or colors_precomp is required")
+    backend = resolve_backend(backend)
 
     prep = prep_lib.preprocess(
         means3d, scales, rotations, opacities, shs, settings,

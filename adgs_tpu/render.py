@@ -84,7 +84,7 @@ def compute_binning(
 def make_staged_render_fn(config: GaussianConfig,
                           active_sh_degree: Optional[int] = None,
                           inv_depth: bool = True,
-                          backend: str = "xla",
+                          backend: str = "auto",
                           capacity: int = 1 << 18,
                           max_per_tile: int = 2048,
                           chunk: int = 32,
@@ -131,7 +131,7 @@ def render(
     active_sh_degree: Optional[int] = None,
     inv_depth: bool = True,
     scaling_modifier: float = 1.0,
-    backend: str = "xla",
+    backend: str = "auto",
     capacity: int = 1 << 18,
     max_per_tile: int = 2048,
     chunk: int = 32,

@@ -35,7 +35,7 @@ def make_train_step(
     frame_gap: float,
     scene_extent: float,
     cameras_extent: float,
-    backend: str = "xla",
+    backend: str = "auto",
     capacity: int = 1 << 18,
     max_per_tile: int = 2048,
     chunk: int = 32,

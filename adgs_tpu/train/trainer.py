@@ -82,7 +82,7 @@ class Trainer:
                  env_resolution: int = 8192,
                  resolution: int = 1,
                  default_order_downsample_ratio: int = 3,
-                 backend: str = "xla",
+                 backend: str = "auto",
                  capacity: int = 1 << 18,
                  max_per_tile: int = 2048,
                  chunk: int = 32,

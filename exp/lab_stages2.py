@@ -79,7 +79,8 @@ def main():
         prep = prep_lib.preprocess(
             p["means3d"], p["scales"], p["rotations"], p["opacities"],
             None, settings)
-        return binning_lib.bin_gaussians(prep, settings, capacity=CAP)
+        return binning_lib.bin_gaussians(prep, settings, capacity=CAP,
+                                         expander="auto")
     b = bin_step(params)
     chain_time("bin_step total (prep+expand+sort+ranges)", bin_step, params)
 
