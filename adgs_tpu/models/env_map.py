@@ -3,8 +3,9 @@
 Capability parity with scene/env.py (EnvironmentMap, 101 LoC):
   - an [1, C, R, R] learnable grid sampled by (azimuth, elevation) with
     bilinear interpolation + sigmoid (:67-76). torch grid_sample with
-    align_corners=True becomes an explicit gather-lerp (`_grid_sample`),
-    which autodiff turns into the exact scatter-add backward.
+    align_corners=True becomes an explicit gather-lerp (`_grid_sample`)
+    with a hand-written flat scatter-add backward (custom_vjp below —
+    2.8x the autodiff scatter's speed at the 8192^2 grid).
   - per-camera ray caching (:44-65) happens host-side in `camera_rays`
     (pure function of intrinsics; callers memoize by cam_id).
   - K uses width/2, height/2 centers and rays are normalized camera-space
@@ -52,32 +53,73 @@ def angles_to_direction(angles: jnp.ndarray) -> jnp.ndarray:
                       jnp.sin(el)], axis=-1)
 
 
-def _grid_sample_align_corners(grid: jnp.ndarray, coords: jnp.ndarray
-                               ) -> jnp.ndarray:
-    """Bilinear sample of [C, Hg, Wg] at [..., 2] (x, y) in [-1, 1] with
-    torch grid_sample(align_corners=True, padding_mode='zeros') semantics."""
-    C, Hg, Wg = grid.shape
+def _taps(grid_shape, coords):
+    """Bilinear tap indices/weights for [-1,1] coords with torch
+    grid_sample(align_corners=True, padding_mode='zeros') semantics.
+    Returns ((xi, yi, w) x 4) with w = 0 for out-of-bounds taps."""
+    _, Hg, Wg = grid_shape
     x = (coords[..., 0] + 1.0) * 0.5 * (Wg - 1)
     y = (coords[..., 1] + 1.0) * 0.5 * (Hg - 1)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     wx = x - x0
     wy = y - y0
-
-    def tap(xi, yi):
+    out = []
+    for xi, yi, w in ((x0, y0, (1 - wx) * (1 - wy)),
+                      (x0 + 1, y0, wx * (1 - wy)),
+                      (x0, y0 + 1, (1 - wx) * wy),
+                      (x0 + 1, y0 + 1, wx * wy)):
         inb = (xi >= 0) & (xi <= Wg - 1) & (yi >= 0) & (yi <= Hg - 1)
-        xi_c = jnp.clip(xi, 0, Wg - 1).astype(jnp.int32)
-        yi_c = jnp.clip(yi, 0, Hg - 1).astype(jnp.int32)
-        v = grid[:, yi_c, xi_c]  # [C, ...]
-        return jnp.where(inb[None], v, 0.0)
+        out.append((jnp.clip(xi, 0, Wg - 1).astype(jnp.int32),
+                    jnp.clip(yi, 0, Hg - 1).astype(jnp.int32),
+                    jnp.where(inb, w, 0.0)))
+    return out
 
-    v00 = tap(x0, y0)
-    v01 = tap(x0 + 1, y0)
-    v10 = tap(x0, y0 + 1)
-    v11 = tap(x0 + 1, y0 + 1)
-    top = v00 * (1 - wx)[None] + v01 * wx[None]
-    bot = v10 * (1 - wx)[None] + v11 * wx[None]
-    return top * (1 - wy)[None] + bot * wy[None]
+
+@jax.custom_vjp
+def _grid_sample_align_corners(grid: jnp.ndarray, coords: jnp.ndarray
+                               ) -> jnp.ndarray:
+    """Bilinear sample of [C, Hg, Wg] at [..., 2] (x, y) in [-1, 1] with
+    torch grid_sample(align_corners=True, padding_mode='zeros') semantics.
+
+    custom_vjp: the autodiff backward is four unsorted 2D scatter-adds
+    into the full grid (~170ms/frame at the 8192^2 production resolution,
+    exp/lab_env.py); the hand backward flattens cell ids and runs one 1D
+    scatter-add per channel (~60ms). Coords are treated as
+    NON-differentiable (zero cotangent): every caller feeds camera rays,
+    which are constants — matching the reference, where ray grids are
+    never optimizer leaves (scene/env.py:44-65)."""
+    v = 0.0
+    for xi, yi, w in _taps(grid.shape, coords):
+        # out-of-bounds taps carry w == 0, so the clipped-index value
+        # is annihilated (padding_mode='zeros')
+        v = v + grid[:, yi, xi] * w[None]
+    return v
+
+
+def _grid_sample_fwd(grid, coords):
+    return _grid_sample_align_corners(grid, coords), (grid.shape, coords)
+
+
+def _grid_sample_bwd(res, g):
+    grid_shape, coords = res
+    C, Hg, Wg = grid_shape
+    flat = coords.reshape(-1, 2)
+    gf = g.reshape(C, -1)
+    taps = _taps(grid_shape, flat)
+    ids4 = jnp.concatenate([yi * Wg + xi for xi, yi, _ in taps])
+    # per-channel 1D scatter: a [cells, C] layout would lane-pad C -> 128
+    # (34GB at 8192^2) and minor-axis [C, cells] scatters measure 2.8x
+    # slower than flat per-channel ones (exp/lab_env.py)
+    chans = []
+    for c in range(C):
+        vals4 = jnp.concatenate([gf[c] * w for _, _, w in taps])
+        chans.append(jnp.zeros((Hg * Wg,), g.dtype).at[ids4].add(vals4))
+    d_grid = jnp.stack(chans).reshape(C, Hg, Wg)
+    return d_grid, jnp.zeros_like(coords)
+
+
+_grid_sample_align_corners.defvjp(_grid_sample_fwd, _grid_sample_bwd)
 
 
 @jax.tree_util.register_dataclass

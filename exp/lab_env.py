@@ -1,11 +1,11 @@
-"""Env-map grid-sample: forward gather and backward scatter strategies.
+"""Env-map grid-sample: backward scatter strategies.
 
 The naive autodiff backward (4 unsorted scatter-adds into the 800MB
 8192^2 grid) measures ~168ms — the single largest cost in the train
-step. Candidates:
-  fwd:  4 independent gathers (current) vs one [2,2]-window gather
-  bwd:  naive autodiff scatter vs flat-id sort + permute + SORTED
-        scatter-add vs sorted windowed scatter
+step. TPU layout rule discovered here: a [RES*RES, 3] operand
+lane-pads 3 -> 128 (34GB) — every candidate must keep the flat cell
+axis MINOR ([3, RES*RES] or per-channel [RES*RES]).
+
 Run: python exp/lab_env.py
 """
 from __future__ import annotations
@@ -37,8 +37,12 @@ def fetch(o):
 
 
 def chain_time(name, fn, *args):
-    out = fn(*args)
-    _ = fetch(out)
+    try:
+        out = fn(*args)
+        _ = fetch(out)
+    except Exception as e:  # noqa: BLE001
+        print(f"{name:56s}   FAILED: {str(e)[:90]}", flush=True)
+        return None
     t0 = time.perf_counter()
     for _ in range(K):
         out = fn(*args)
@@ -60,7 +64,6 @@ def main():
     print(f"RTT {RTT*1e3:.2f} ms", flush=True)
 
     rng = np.random.default_rng(0)
-    grid = jnp.asarray(rng.normal(size=(3, RES, RES)).astype(np.float32))
     # camera-coherent coords: a smooth sky footprint (like real rays)
     yy, xx = np.meshgrid(np.linspace(0.1, 0.45, H),
                          np.linspace(-0.3, 0.3, W), indexing="ij")
@@ -78,99 +81,143 @@ def main():
     x1i = jnp.clip(x0 + 1, 0, RES - 1).astype(jnp.int32)
     y1i = jnp.clip(y0 + 1, 0, RES - 1).astype(jnp.int32)
 
-    # ---- forward variants ----
-    @jax.jit
-    def fwd_4gather(gr):
-        v00 = gr[:, y0i, x0i]; v01 = gr[:, y0i, x1i]
-        v10 = gr[:, y1i, x0i]; v11 = gr[:, y1i, x1i]
-        top = v00 * (1 - wx) + v01 * wx
-        bot = v10 * (1 - wx) + v11 * wx
-        return top * (1 - wy) + bot * wy
-    chain_time("fwd: 4 gathers (current)", fwd_4gather, grid)
+    # baseline: the module's own fwd+bwd (autodiff scatter)
+    from adgs_tpu.models import env_map as em
+    grid = jnp.asarray(rng.normal(size=(3, RES, RES)).astype(np.float32))
 
-    starts = jnp.stack([y0i, x0i], axis=-1)          # [P,2]
+    def mod_loss(gr):
+        return jnp.sum(em._grid_sample_align_corners(gr, coords) * 1e-3)
+    chain_time("module autodiff fwd+bwd (baseline)",
+               jax.jit(jax.grad(mod_loss)), grid)
 
-    @jax.jit
-    def fwd_window(gr):
-        # one gather of [C,2,2] windows at P starts
-        patch = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(gr, (0, s[0], s[1]), (3, 2, 2))
-        )(starts)                                     # [P,3,2,2]
-        top = patch[:, :, 0, 0] * (1 - wx)[:, None] \
-            + patch[:, :, 0, 1] * wx[:, None]
-        bot = patch[:, :, 1, 0] * (1 - wx)[:, None] \
-            + patch[:, :, 1, 1] * wx[:, None]
-        return (top * (1 - wy)[:, None] + bot * wy[:, None]).T
-    chain_time("fwd: one [2,2]-window gather", fwd_window, grid)
-
-    # ---- backward variants (d_grid only) ----
+    # ---- backward candidates (d_grid only) ----
     w00 = (1 - wx) * (1 - wy); w01 = wx * (1 - wy)
     w10 = (1 - wx) * wy; w11 = wx * wy
-
-    @jax.jit
-    def bwd_naive(g):
-        d = jnp.zeros((3, RES, RES), jnp.float32)
-        d = d.at[:, y0i, x0i].add(g * w00)
-        d = d.at[:, y0i, x1i].add(g * w01)
-        d = d.at[:, y1i, x0i].add(g * w10)
-        d = d.at[:, y1i, x1i].add(g * w11)
-        return d
-    chain_time("bwd: 4 unsorted 2D scatter-adds (naive)", bwd_naive, g_out)
-
     ids4 = jnp.concatenate([y0i * RES + x0i, y0i * RES + x1i,
                             y1i * RES + x0i, y1i * RES + x1i])
+
+    @jax.jit
+    def bwd_flat_unsorted(g):
+        vals4 = jnp.concatenate(
+            [g * w00, g * w01, g * w10, g * w11], axis=1)   # [3, 4P]
+        d = jnp.zeros((3, RES * RES), jnp.float32)
+        return d.at[:, ids4].add(vals4)
+    chain_time("bwd: unsorted minor-axis scatter [3, RES^2]",
+               bwd_flat_unsorted, g_out)
+
     @jax.jit
     def bwd_flat_sorted(g):
-        vals4 = jnp.concatenate([
-            (g * w00).T, (g * w01).T, (g * w10).T, (g * w11).T], axis=0)
+        vals4 = jnp.concatenate(
+            [g * w00, g * w01, g * w10, g * w11], axis=1)   # [3, 4P]
         ids_s, pos = jax.lax.sort(
             (ids4, jnp.arange(4 * P, dtype=jnp.int32)), num_keys=1,
             is_stable=False)
         pos = jax.lax.optimization_barrier(pos)
-        vals_s = jax.lax.optimization_barrier(
-            jax.lax.optimization_barrier(vals4)[pos])
-        d = jnp.zeros((RES * RES, 3), jnp.float32)
-        d = d.at[ids_s].add(vals_s, indices_are_sorted=True)
-        return d
-    chain_time("bwd: flat-id sort + permute + sorted scatter",
+        rows = jax.lax.optimization_barrier(
+            jax.lax.optimization_barrier(vals4.T)[pos])     # [4P, 3]
+        vals_s = rows.T
+        d = jnp.zeros((3, RES * RES), jnp.float32)
+        return d.at[:, ids_s].add(vals_s, indices_are_sorted=True)
+    chain_time("bwd: sort + row-permute + sorted minor scatter",
                bwd_flat_sorted, g_out)
 
     @jax.jit
-    def bwd_flat_unsorted(g):
-        vals4 = jnp.concatenate([
-            (g * w00).T, (g * w01).T, (g * w10).T, (g * w11).T], axis=0)
-        d = jnp.zeros((RES * RES, 3), jnp.float32)
-        d = d.at[ids4].add(vals4)
-        return d
-    chain_time("bwd: flat-id unsorted row scatter", bwd_flat_unsorted,
-               g_out)
-
-    # windowed scatter: [P] updates of [3,2,2] at (y0,x0) starts, sorted
-    flat0 = y0i * RES + x0i
-    order = jnp.argsort(flat0)
+    def bwd_1d_per_channel(g):
+        outs = []
+        for c in range(3):
+            vals4 = jnp.concatenate(
+                [g[c] * w00, g[c] * w01, g[c] * w10, g[c] * w11])
+            d = jnp.zeros((RES * RES,), jnp.float32)
+            outs.append(d.at[ids4].add(vals4))
+        return jnp.stack(outs)
+    chain_time("bwd: 3x unsorted 1D scatter", bwd_1d_per_channel, g_out)
 
     @jax.jit
-    def bwd_window_sorted(g):
-        wmat = jnp.stack([w00, w01, w10, w11], axis=-1).reshape(P, 2, 2)
-        upd = wmat[..., None] * g.T[:, None, None, :]   # [P,2,2,3]
-        upd = upd[order]
-        st = starts[order]
-        dnum = jax.lax.ScatterDimensionNumbers(
-            update_window_dims=(1, 2, 3),
-            inserted_window_dims=(),
-            scatter_dims_to_operand_dims=(0, 1))
-        d = jax.lax.scatter_add(
-            jnp.zeros((RES, RES, 3), jnp.float32), st, upd, dnum,
-            indices_are_sorted=True, unique_indices=False)
-        return d
-    chain_time("bwd: sorted [2,2,3]-window scatter", bwd_window_sorted,
-               g_out)
+    def bwd_1d_sorted(g):
+        ids_s, pos = jax.lax.sort(
+            (ids4, jnp.arange(4 * P, dtype=jnp.int32)), num_keys=1,
+            is_stable=False)
+        pos = jax.lax.optimization_barrier(pos)
+        outs = []
+        for c in range(3):
+            vals4 = jnp.concatenate(
+                [g[c] * w00, g[c] * w01, g[c] * w10, g[c] * w11])
+            vals_s = jax.lax.optimization_barrier(vals4)[pos]
+            d = jnp.zeros((RES * RES,), jnp.float32)
+            outs.append(d.at[ids_s].add(vals_s, indices_are_sorted=True))
+        return jnp.stack(outs)
+    chain_time("bwd: sort + 3x sorted 1D scatter", bwd_1d_sorted, g_out)
 
-    # numerical check: flat_sorted vs naive on a small slice
-    da = bwd_naive(g_out)
-    db = bwd_flat_sorted(g_out).reshape(RES, RES, 3).transpose(2, 0, 1)
-    err = float(jnp.max(jnp.abs(da - db)))
-    print(f"flat_sorted vs naive max abs err: {err:.2e}", flush=True)
+    # windowed [2,2] scatter per channel into a 1-padded grid: 4x fewer
+    # updates than scalar taps. Padding both sides keeps every window
+    # in-bounds (XLA drops whole OOB windows, which would lose the valid
+    # tap of an edge pixel); OOB taps carry w=0 so pad cells only ever
+    # receive zeros.
+    starts = jnp.stack([y0i, x0i], axis=-1)  # clipped starts; see note
+    y0u = jnp.floor(y).astype(jnp.int32) + 1   # unclipped, shifted by pad
+    x0u = jnp.floor(x).astype(jnp.int32) + 1
+    startsu = jnp.stack([y0u, x0u], axis=-1)
+
+    @jax.jit
+    def bwd_window_per_channel(g):
+        wmat = jnp.stack([w00, w01, w10, w11], axis=-1).reshape(P, 2, 2)
+        dnum = jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(1, 2), inserted_window_dims=(),
+            scatter_dims_to_operand_dims=(0, 1))
+        outs = []
+        for c in range(3):
+            upd = wmat * g[c][:, None, None]
+            d = jax.lax.scatter_add(
+                jnp.zeros((RES + 2, RES + 2), jnp.float32), startsu, upd,
+                dnum, indices_are_sorted=False, unique_indices=False)
+            outs.append(d[1:-1, 1:-1])
+        return jnp.stack(outs)
+    chain_time("bwd: 3x [2,2]-window scatter (padded)",
+               bwd_window_per_channel, g_out)
+
+    # windowed [2,2] gather forward per channel
+    @jax.jit
+    def fwd_window(gr):
+        grp = jnp.pad(gr, ((0, 0), (1, 1), (1, 1)))
+        dnum = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(),
+            start_index_map=(0, 1))
+        outs = []
+        wmat = jnp.stack([w00, w01, w10, w11], axis=-1).reshape(P, 2, 2)
+        for c in range(3):
+            patch = jax.lax.gather(
+                grp[c], startsu, dnum, slice_sizes=(2, 2),
+                indices_are_sorted=False, unique_indices=False)  # [P,2,2]
+            outs.append(jnp.sum(patch * wmat, axis=(1, 2)))
+        return jnp.stack(outs)
+    chain_time("fwd: 3x [2,2]-window gather (padded)", fwd_window, grid)
+
+    @jax.jit
+    def fwd_4gather(gr):
+        v = 0.0
+        for xi, yi, w in ((x0i, y0i, w00), (x1i, y0i, w01),
+                          (x0i, y1i, w10), (x1i, y1i, w11)):
+            v = v + gr[:, yi, xi] * w[None]
+        return v
+    chain_time("fwd: 4 scalar gathers (current)", fwd_4gather, grid)
+
+    wcheck = bwd_window_per_channel(g_out)
+    scheck = bwd_1d_per_channel(g_out)
+    if wcheck is not None and scheck is not None:
+        err = float(jnp.max(jnp.abs(
+            wcheck - scheck.reshape(3, RES, RES))))
+        print(f"window vs 1D scatter max abs err: {err:.2e}", flush=True)
+
+    # numerical check vs baseline on whichever worked
+    base = jax.jit(jax.grad(mod_loss))(grid)
+    cand = bwd_flat_sorted(g_out)
+    if cand is not None:
+        # baseline used g = 1e-3 per element; rescale candidate comparison
+        cand2 = bwd_flat_sorted(jnp.full_like(g_out, 1e-3))
+        err = float(jnp.max(jnp.abs(
+            base.reshape(3, -1) - cand2)))
+        print(f"sorted-candidate vs autodiff max abs err: {err:.2e}",
+              flush=True)
 
 
 if __name__ == "__main__":

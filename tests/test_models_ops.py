@@ -129,6 +129,32 @@ class TestEnvMap:
         want = torch.sigmoid(tout)[0].numpy()
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
+    def test_grid_sample_grad_matches_torch(self, rng):
+        """The custom_vjp backward (flat per-channel scatter, env_map.py)
+        must reproduce torch grid_sample's grid gradient, including
+        out-of-bounds zero-padding taps."""
+        import torch
+        import torch.nn.functional as F
+        from adgs_tpu.models.env_map import _grid_sample_align_corners
+        grid = rng.normal(size=(3, 16, 32)).astype(np.float32)
+        # include coords outside [-1,1] to exercise the padding gate
+        coords = (rng.uniform(size=(9, 11, 2)) * 2.6 - 1.3).astype(
+            np.float32)
+        w = rng.normal(size=(3, 9, 11)).astype(np.float32)
+
+        def loss(g):
+            return jnp.sum(
+                _grid_sample_align_corners(g, jnp.asarray(coords))
+                * jnp.asarray(w))
+        got = np.asarray(jax.grad(loss)(jnp.asarray(grid)))
+
+        tg = torch.tensor(grid, requires_grad=True)
+        tout = F.grid_sample(tg[None], torch.tensor(coords)[None],
+                             align_corners=True, padding_mode="zeros")
+        (tout[0] * torch.tensor(w)).sum().backward()
+        np.testing.assert_allclose(got, tg.grad.numpy(), rtol=1e-4,
+                                   atol=1e-5)
+
     def test_angles_roundtrip(self, rng):
         from adgs_tpu.models.env_map import direction_to_angles, angles_to_direction
         d = rng.normal(size=(20, 3))
