@@ -16,6 +16,7 @@ import dataclasses
 import json
 import os
 import random
+import sys
 import time
 from typing import Optional
 
@@ -229,6 +230,24 @@ class Trainer:
             self.params, self.env = t.gaussians, t.env
             print(f"[capacity] grew to scene={Ns + grow_s} obj={No + grow_o}")
 
+    def _dump_failure_snapshot(self, it: int, fidx: int) -> str:
+        """Repro capsule on step failure (the TPU analog of the
+        reference's snapshot_fw/bw.dump): the full train state + the
+        failing frame index, loadable via checkpoint.load_state to replay
+        the exact step — e.g. in interpret mode to localize a Mosaic
+        miscompile, the remote-TPU equivalent of a CUDA kernel fault."""
+        path = os.path.join(self.model_path, f"snapshot_fail_{it}.npz")
+        try:
+            ckpt_lib.save_state(
+                path, TrainableState(self.params, self.env),
+                self.opt_state, self.state, it,
+                extras={"failed_frame_idx": fidx,
+                        "active_sh_degree": self.active_sh_degree,
+                        "instance_capacity": self.capacity})
+        except Exception as dump_err:  # noqa: BLE001
+            return f"<dump failed: {dump_err}>"
+        return path
+
     # ------------------------------------------------------------------
     def train(self, iterations: Optional[int] = None,
               save_iterations: Optional[list] = None,
@@ -278,13 +297,24 @@ class Trainer:
                 batch = batch._replace(flow=flow_package(raw),
                                        flow_valid=jnp.asarray(True))
 
-            with timer:
-                (self.params, self.env, self.opt_state, self.state,
-                 logs) = self._step_fn(
-                    self.params, self.env, self.opt_state, self.state, cam,
-                    batch, rays, jnp.float32(it),
-                    active_sh_degree=self.active_sh_degree)
-                loss = float(logs["total_loss"])  # blocks on the step
+            try:
+                with timer:
+                    (self.params, self.env, self.opt_state, self.state,
+                     logs) = self._step_fn(
+                        self.params, self.env, self.opt_state, self.state,
+                        cam, batch, rays, jnp.float32(it),
+                        active_sh_degree=self.active_sh_degree)
+                    loss = float(logs["total_loss"])  # blocks on the step
+            except Exception:
+                # repro capsule, the analog of the reference's
+                # snapshot_fw/bw.dump on kernel failure
+                # (diff_gaussian_rasterization/__init__.py:92-99): the full
+                # optimizer state plus the failing frame index, replayable
+                # via checkpoint.load_state + Trainer.
+                path = self._dump_failure_snapshot(it, fidx)
+                print(f"[debug] step {it} raised; repro state dumped to "
+                      f"{path} (frame {fidx})", file=sys.stderr)
+                raise
             ema = 0.4 * loss + 0.6 * ema if it > 1 else loss
             if it % log_every == 0:
                 self.logger.scalars(

@@ -177,3 +177,40 @@ class TestCapacityAutotune:
                                     capacity=1 << 15, max_per_tile=512)
         np.testing.assert_allclose(out_g["render"], out_big["render"],
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestFailureSnapshot:
+    def test_step_failure_dumps_repro_state(self, tmp_path):
+        """A raising train step must leave a loadable repro capsule
+        (the analog of the reference's snapshot_fw/bw.dump on kernel
+        failure, diff_gaussian_rasterization/__init__.py:92-99)."""
+        from adgs_tpu.data.readers import read_scene
+        from adgs_tpu.train.config import OptimizationConfig
+        from adgs_tpu.train.trainer import Trainer
+        from adgs_tpu.train import checkpoint as ckpt_lib
+        from adgs_tpu.train.optim import TrainableState
+
+        root = make_kitti_scene(str(tmp_path / "scene"), width=64, height=48)
+        scene = read_scene(root)
+        opt = OptimizationConfig(iterations=3, lambda_flow=0.0,
+                                 densify_from_iter=100)
+        out = str(tmp_path / "out")
+        tr = Trainer(scene, opt, out, capacity=2048, env_resolution=32)
+        tr._build_step()
+
+        def boom(*a, **k):
+            raise RuntimeError("injected kernel fault")
+        tr._step_fn = boom
+
+        with pytest.raises(RuntimeError, match="injected"):
+            tr.train(iterations=2, save_iterations=[], test_iterations=[])
+
+        snaps = [f for f in os.listdir(out) if f.startswith("snapshot_fail_")]
+        assert snaps, "no failure snapshot written"
+        path = os.path.join(out, snaps[0])
+        tr2, opt_state, state, it = ckpt_lib.load_state(
+            path, TrainableState(tr.params, tr.env), tr.opt_state, tr.state)
+        assert int(it) >= 1
+        import numpy as _np
+        with _np.load(path) as z:
+            assert "extra.failed_frame_idx" in z
