@@ -117,12 +117,12 @@ class Camera:
 
 def transform_point_4x4(p: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
     """[N,3] x transposed-4x4 -> [N,4] homogeneous (auxiliary.h:68-77)."""
-    return p @ m[:3, :4] + m[3, :4]
+    return jnp.matmul(p, m[:3, :4], precision="highest") + m[3, :4]
 
 
 def transform_point_4x3(p: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
     """[N,3] x transposed-4x4 -> [N,3] affine (auxiliary.h:57-66)."""
-    return p @ m[:3, :3] + m[3, :3]
+    return jnp.matmul(p, m[:3, :3], precision="highest") + m[3, :3]
 
 
 def ndc_to_pix(v: jnp.ndarray, size: int) -> jnp.ndarray:

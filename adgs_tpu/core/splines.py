@@ -50,7 +50,7 @@ def bspline_basis(u: jnp.ndarray, order: int) -> jnp.ndarray:
     """basis weights over the k+1 control points of the active window."""
     mat = jnp.asarray(deboor_cox_matrix(order))
     powers = u ** jnp.arange(0.0, order + 1.0)
-    return powers @ mat
+    return jnp.matmul(powers, mat, precision="highest")
 
 
 def poly_basis(v: jnp.ndarray, order: int) -> jnp.ndarray:

@@ -146,11 +146,18 @@ class EnvironmentMap:
             angles = view
         scale = jnp.asarray([1.0 / jnp.pi, 2.0 / jnp.pi], dtype=jnp.float32)
         coords = angles * scale
+        if coords.ndim == 3:
+            # image-shaped [H, W, 2] coords ride the blocked Pallas
+            # sample/scatter (ops/grid_sample.py) — ~10x over the generic
+            # gather/scatter at the 8192^2 production grid
+            from ..ops.grid_sample import grid_sample_image
+            return jax.nn.sigmoid(grid_sample_image(self.grid, coords))
         return jax.nn.sigmoid(_grid_sample_align_corners(self.grid, coords))
 
     def image_background(self, cam_rays: jnp.ndarray,
                          world_view: jnp.ndarray) -> jnp.ndarray:
         """get_image_background (scene/env.py:44-65): [H, W, 3] camera rays +
         transposed-stored view matrix -> [C, H, W] sky image."""
-        world_rays = cam_rays @ world_view[:3, :3].T
+        world_rays = jnp.matmul(cam_rays, world_view[:3, :3].T,
+                                precision="highest")
         return self.color(world_rays)

@@ -28,7 +28,8 @@ class FlowPackage(NamedTuple):
 def flow_points_project(pts: jnp.ndarray, K: jnp.ndarray, R: jnp.ndarray,
                         T: jnp.ndarray, dist: float = 1e-3):
     """[N,3] world -> ([N,2] pixels, [N] in-front mask)."""
-    proj = (pts @ R.T + T) @ K.T
+    mm = lambda a, b: jnp.matmul(a, b, precision="highest")  # noqa: E731
+    proj = mm(mm(pts, R.T) + T, K.T)
     mask = proj[..., 2] > dist
     uv = proj[..., :2] / jnp.maximum(proj[..., 2:3], dist)
     return uv, mask

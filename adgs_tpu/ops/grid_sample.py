@@ -1,0 +1,307 @@
+"""Blocked Pallas bilinear grid sampling for image-shaped coordinate
+fields (the environment-map hot path).
+
+The generic grid sample (models/env_map.py) costs ~19ms forward (4
+row gathers from the 800MB 8192^2 grid) and ~60ms backward (flat
+1D scatter-adds) per frame. For IMAGE-SHAPED coords the mapping
+pixel -> env cell is smooth, so an [BH x BW]-pixel block's bilinear
+taps live in a small [WH x WW] window of the grid. Within a window the
+2D cell one-hot factorizes into row/column one-hots:
+
+    out[c, t]  = sum_{ly,lx} win[c,ly,lx] * Y[ly,t] * X[lx,t]
+    d_win[c]   = sum_t (Y . (w*g_c))[:, t] (x) X[:, t]
+               = (Y . (w*g_c)) @ X^T        -- one MXU matmul per tap/ch
+
+so the forward becomes window matmuls instead of gathers, and the
+backward window matmuls + read-modify-write window DMAs instead of
+scatters. Blocks whose footprint exceeds the static window (azimuth
+seam, poles, extreme fov) flip a flag and the caller falls back to the
+generic path via lax.cond — the same guard pattern as the binning
+expander (raster/pallas/expand.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+BH = 8      # pixels per block, rows
+BW = 32     # pixels per block, cols
+WH = 48     # window rows (multiple of 8): KITTI's 707px-focal cameras
+#             span ~30 elevation cells per 8-px block at the 8192 grid,
+#             plus up to 7 rows of sublane-alignment slack
+WW = 256    # window cols (multiple of 128): ~59 azimuth cells per
+#             32-px block + up to 127 lanes of alignment slack
+P = BH * BW  # 256 pixels -> 4*P bilinear taps per block
+
+
+def _block_reduce(a, nby, nbx, fn):
+    return fn(a.reshape(4, nby, BH, nbx, BW), axis=(0, 2, 4))
+
+
+def _block_meta(yi4, xi4, Hg, Wg, nby, nbx):
+    """Aligned per-block window starts + the whole-frame coverage flag."""
+    y_lo = _block_reduce(yi4, nby, nbx, jnp.min)
+    y_hi = _block_reduce(yi4, nby, nbx, jnp.max)
+    x_lo = _block_reduce(xi4, nby, nbx, jnp.min)
+    x_hi = _block_reduce(xi4, nby, nbx, jnp.max)
+    y0 = jnp.clip((y_lo // 8) * 8, 0, Hg - WH)
+    x0 = jnp.clip((x_lo // 128) * 128, 0, Wg - WW)
+    ok = jnp.all((y_hi < y0 + WH) & (x_hi < x0 + WW)
+                 & (y_lo >= y0) & (x_lo >= x0))
+    return y0.reshape(-1), x0.reshape(-1), ok
+
+
+def _blocked(a, nby, nbx):
+    """[K, Hp, Wp] -> [nb, K, P] (pixel-major within each block)."""
+    K = a.shape[0]
+    return (a.reshape(K, nby, BH, nbx, BW)
+            .transpose(1, 3, 0, 2, 4).reshape(nby * nbx, K, P))
+
+
+def _onehots(xi_ref, yi_ref, y0, x0, t):
+    iot_h = jax.lax.broadcasted_iota(jnp.int32, (WH, P), 0)
+    iot_w = jax.lax.broadcasted_iota(jnp.int32, (WW, P), 0)
+    ly = yi_ref[0, t].reshape(1, P) - y0
+    lx = xi_ref[0, t].reshape(1, P) - x0
+    Y = (iot_h == ly).astype(jnp.float32)     # [WH, P]
+    X = (iot_w == lx).astype(jnp.float32)     # [WW, P]
+    return Y, X
+
+
+def _fwd_kernel(y0s, x0s, xi_ref, yi_ref, w_ref, grid_hbm, out_ref,
+                buf, sem, *, C: int, nb: int):
+    b = pl.program_id(0)
+    y0 = y0s[b]
+    x0 = x0s[b]
+
+    def get_dma(slot, bb):
+        return pltpu.make_async_copy(
+            grid_hbm.at[:, pl.ds(pl.multiple_of(y0s[bb], 8), WH),
+                        pl.ds(pl.multiple_of(x0s[bb], 128), WW)],
+            buf.at[slot], sem.at[slot])
+
+    @pl.when(b == 0)
+    def _():
+        get_dma(0, 0).start()
+
+    @pl.when(b + 1 < nb)
+    def _():
+        get_dma((b + 1) % 2, b + 1).start()
+
+    get_dma(b % 2, b).wait()
+    win = buf[b % 2]                                  # [C, WH, WW]
+
+    for c in range(C):
+        acc = jnp.zeros((1, P), jnp.float32)
+        for t in range(4):
+            Y, X = _onehots(xi_ref, yi_ref, y0, x0, t)
+            w = w_ref[0, t].reshape(1, P)
+            tmp = jax.lax.dot_general(
+                win[c], X, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)   # [WH, P]
+            acc = acc + jnp.sum(Y * tmp, axis=0, keepdims=True) * w
+        out_ref[0, c] = acc[0]
+
+
+def _bwd_kernel(y0s, x0s, xi_ref, yi_ref, w_ref, g_ref, zeros_in, grid_hbm,
+                buf, rsem, wsem, *, C: int, nb: int):
+    del zeros_in  # aliased to grid_hbm; provides the zero init
+    b = pl.program_id(0)
+    y0 = y0s[b]
+    x0 = x0s[b]
+
+    def window(bb):
+        return grid_hbm.at[:, pl.ds(pl.multiple_of(y0s[bb], 8), WH),
+                           pl.ds(pl.multiple_of(x0s[bb], 128), WW)]
+
+    # strict read-modify-write: neighbouring image blocks' windows
+    # overlap and the grid is sequential, so read(b) must see write(b-1)
+    # — guaranteed by the write wait at the end of the previous body.
+    read = pltpu.make_async_copy(window(b), buf, rsem)
+    read.start()
+
+    adds = []
+    for c in range(C):
+        g_c = g_ref[0, c].reshape(1, P)
+        acc = jnp.zeros((WH, WW), jnp.float32)
+        for t in range(4):
+            Y, X = _onehots(xi_ref, yi_ref, y0, x0, t)
+            w = w_ref[0, t].reshape(1, P)
+            A = Y * (w * g_c)                        # [WH, P]
+            acc = acc + jax.lax.dot_general(
+                A, X, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # [WH, WW]
+        adds.append(acc)
+
+    read.wait()
+    for c in range(C):
+        buf[c] += adds[c]
+    put = pltpu.make_async_copy(buf, window(b), wsem)
+    put.start()
+    put.wait()
+
+
+def _tap_blocks(grid_shape, coords, H, W, nby, nbx):
+    """Taps for edge-padded coords in blocked [nb, 4, P] layout + meta."""
+    from ..models.env_map import _taps
+    Hp, Wp = nby * BH, nbx * BW
+    cp = jnp.pad(coords, ((0, Hp - H), (0, Wp - W), (0, 0)), mode="edge")
+    taps = _taps(grid_shape, cp)
+    if Hp != H or Wp != W:
+        mask = jnp.zeros((Hp, Wp), bool).at[:H, :W].set(True)
+        taps = [(xi, yi, jnp.where(mask, w, 0.0)) for xi, yi, w in taps]
+    xi4 = jnp.stack([t[0] for t in taps])
+    yi4 = jnp.stack([t[1] for t in taps])
+    w4 = jnp.stack([t[2].astype(jnp.float32) for t in taps])
+    y0, x0, ok = _block_meta(yi4, xi4, grid_shape[1], grid_shape[2],
+                             nby, nbx)
+    return (_blocked(xi4, nby, nbx), _blocked(yi4, nby, nbx),
+            _blocked(w4, nby, nbx), y0, x0, ok)
+
+
+def sample_image_pallas(grid, xi_b, yi_b, w_b, y0, x0,
+                        nby: int, nbx: int) -> jnp.ndarray:
+    """[C, Hg, Wg] x blocked taps -> [C, nby*BH, nbx*BW]."""
+    C = grid.shape[0]
+    nb = nby * nbx
+    tap_spec = pl.BlockSpec((1, 4, P), lambda b, *_: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, C=C, nb=nb),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nb,),
+            in_specs=[tap_spec, tap_spec, tap_spec,
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((1, C, P), lambda b, *_: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, C, WH, WW), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb, C, P), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=_interpret(),
+    )(y0, x0, xi_b, yi_b, w_b, grid)
+    # [nb, C, P] -> [C, H, W]
+    return (out.reshape(nby, nbx, C, BH, BW)
+            .transpose(2, 0, 3, 1, 4).reshape(C, nby * BH, nbx * BW))
+
+
+def scatter_image_pallas(g_b, grid_shape, xi_b, yi_b, w_b, y0, x0,
+                         nby: int, nbx: int) -> jnp.ndarray:
+    """[nb, C, P] blocked cotangent -> [C, Hg, Wg] grid gradient."""
+    C, Hg, Wg = grid_shape
+    nb = nby * nbx
+    tap_spec = pl.BlockSpec((1, 4, P), lambda b, *_: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, C=C, nb=nb),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nb,),
+            in_specs=[tap_spec, tap_spec, tap_spec,
+                      pl.BlockSpec((1, C, P), lambda b, *_: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((C, WH, WW), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((C, Hg, Wg), jnp.float32),
+        input_output_aliases={6: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",), has_side_effects=True),
+        interpret=_interpret(),
+    )(y0, x0, xi_b, yi_b, w_b, g_b, jnp.zeros((C, Hg, Wg), jnp.float32))
+
+
+@jax.custom_vjp
+def grid_sample_image(grid: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample of [C, Hg, Wg] at IMAGE-SHAPED [H, W, 2] coords in
+    [-1, 1] (torch grid_sample align_corners=True, zeros padding — the
+    env-map contract, scene/env.py:67-76). Blocked Pallas fast path with
+    a runtime lax.cond fallback to the generic gather/scatter for frames
+    whose block footprints exceed the static window. Coords get a zero
+    cotangent (callers feed constant camera rays — see
+    env_map._grid_sample_align_corners)."""
+    out, _ = _gsi_fwd(grid, coords)
+    return out
+
+
+def _gsi_fwd(grid, coords):
+    from ..models.env_map import _grid_sample_align_corners
+    H, W = coords.shape[:2]
+    if grid.shape[1] < WH or grid.shape[2] < WW:
+        # grid smaller than one window (tiny test maps): generic path
+        return _grid_sample_align_corners(grid, coords), (grid.shape,
+                                                          coords)
+    nby, nbx = -(-H // BH), -(-W // BW)
+    xi_b, yi_b, w_b, y0, x0, ok = _tap_blocks(grid.shape, coords, H, W,
+                                              nby, nbx)
+
+    def fast(g):
+        return sample_image_pallas(g, xi_b, yi_b, w_b, y0, x0,
+                                   nby, nbx)[:, :H, :W]
+
+    def slow(g):
+        return _grid_sample_align_corners(g, coords)
+
+    out = jax.lax.cond(ok, fast, slow, grid)
+    return out, (grid.shape, coords)
+
+
+def _gsi_bwd(res, g):
+    from ..models.env_map import _taps
+    grid_shape, coords = res
+    C, Hg, Wg = grid_shape
+    H, W = coords.shape[:2]
+    small_grid = Hg < WH or Wg < WW
+    nby, nbx = -(-H // BH), -(-W // BW)
+    if not small_grid:
+        xi_b, yi_b, w_b, y0, x0, ok = _tap_blocks(grid_shape, coords,
+                                                  H, W, nby, nbx)
+
+    def fast(gg):
+        gp = jnp.pad(gg, ((0, 0), (0, nby * BH - H), (0, nbx * BW - W)))
+        g_b = _blocked(gp, nby, nbx)
+        return scatter_image_pallas(g_b, grid_shape, xi_b, yi_b, w_b,
+                                    y0, x0, nby, nbx)
+
+    def slow(gg):
+        # generic flat per-channel scatter (see env_map._grid_sample_bwd)
+        flat_taps = _taps(grid_shape, coords.reshape(-1, 2))
+        ids4 = jnp.concatenate([yi * Wg + xi for xi, yi, _ in flat_taps])
+        gf = gg.reshape(C, -1)
+        chans = []
+        for c in range(C):
+            vals4 = jnp.concatenate([gf[c] * w for _, _, w in flat_taps])
+            chans.append(
+                jnp.zeros((Hg * Wg,), gg.dtype).at[ids4].add(vals4))
+        return jnp.stack(chans).reshape(C, Hg, Wg)
+
+    if small_grid:
+        d_grid = slow(g)
+    else:
+        d_grid = jax.lax.cond(ok, fast, slow, g)
+    return d_grid, jnp.zeros_like(coords)
+
+
+grid_sample_image.defvjp(_gsi_fwd, _gsi_bwd)

@@ -40,10 +40,12 @@ def _depthwise_filter(img: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
     kh = jnp.broadcast_to(g[None, None, None, :], (C, 1, 1, window_size))
     out = jax.lax.conv_general_dilated(
         img, kv, window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=C)
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=C,
+        precision="highest")
     return jax.lax.conv_general_dilated(
         out, kh, window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=C)
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=C,
+        precision="highest")
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11

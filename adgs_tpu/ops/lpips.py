@@ -36,7 +36,10 @@ def _conv(x, w, b, stride=1, pad=1):
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(stride, stride),
         padding=[(pad, pad), (pad, pad)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        # TPU default matmul/conv precision truncates f32 operands to
+        # bf16; the metric is validated against torch at f32
+        precision="highest")
     return y + b[None, :, None, None]
 
 

@@ -63,7 +63,8 @@ def cumsum_mxu(x: jnp.ndarray) -> jnp.ndarray:
     tri = jnp.triu(jnp.ones((B, B), jnp.float32))   # tri[k, j] = 1, k <= j
     local = jax.lax.dot_general(
         xb, tri, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)          # inclusive per block
+        preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)          # inclusive per block
     row_tot = local[:, -1]
     carry = jnp.cumsum(row_tot) - row_tot            # [L/B] — tiny
     out = (local + carry[:, None]).reshape(-1)[:L]

@@ -83,7 +83,8 @@ def _expand_kernel(g_base, tbl_hbm, key_ref, gid_ref, buf, sem, *,
     # val[f, s] = sum_g tbl[f, g] * member[s, g] — gather-as-matmul
     val = jax.lax.dot_general(
         tbl, member, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                # [F_TBL, BLK]
+        preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)                # [F_TBL, BLK]
 
     pos = (jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
            + c * BLK).astype(jnp.float32)                  # [1, BLK]

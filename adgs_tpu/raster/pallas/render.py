@@ -283,16 +283,19 @@ def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref,
         coef_op, coef_p, _ = _coefs(geom, ox, oy)
         powerop = jax.lax.dot_general(
             coef_op, basis, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # [CHUNK, P]
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)            # [CHUNK, P]
         power = jax.lax.dot_general(
             coef_p, basis, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         alpha = _alpha_from_powers(powerop, power, valid)
         w, t_raw, t_eff, _ = _chunk_weights(alpha, t_raw, t_eff)
         feats = geom[F_GEOM:F_GEOM + ch, :]                # [CHo, CHUNK]
         accum = accum + jax.lax.dot_general(
             feats, w, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # [CHo, P]
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)            # [CHo, P]
         return c + 1, t_raw, t_eff, accum
 
     init = (jnp.int32(0),
@@ -365,10 +368,12 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
         coef_op, coef_p, (mx, my, ca, cb, cc) = _coefs(geom, ox, oy)
         powerop = jax.lax.dot_general(
             coef_op, basis, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # [CHUNK, P]
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)            # [CHUNK, P]
         power = jax.lax.dot_general(
             coef_p, basis, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         alpha = _alpha_from_powers(powerop, power, valid)
         w, new_raw, new_eff, (a_eff, t_excl, include) = _chunk_weights(
             alpha, t_raw, t_eff)
@@ -377,7 +382,8 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
         # fg[j, pix] = f_j . g  -> [CHUNK, P]
         fg = jax.lax.dot_general(
             feats, g[:ch, :], dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         b = w * fg
         prefix_incl = _sub_cumsum(b) + prefix
         inv1m = 1.0 / (1.0 - a_eff)
@@ -395,7 +401,8 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
         # MT[k, j] = sum_pix basis_k * d_powerop[j]  -> [8, CHUNK]
         MT = jax.lax.dot_general(
             basis, d_powerop, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         d_c0 = MT[0:1, :]
         d_c1 = MT[1:2, :]
         d_c2 = MT[2:3, :]
@@ -414,7 +421,8 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
         # dL/df_j = sum_pix w * g_ch  -> [CHo, CHUNK]
         d_feat = jax.lax.dot_general(
             g[:ch, :], w, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
 
         grows = jnp.concatenate(
             [d_mx, d_my, d_ca, d_cb, d_cc, d_lo, d_feat], axis=0)
@@ -527,7 +535,8 @@ def _segreduce_kernel(bounds, gm_hbm, start_ref, end_ref, out_ref,
         return accum + jax.lax.dot_general(
             chunk, member,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [g_cols, SEG_BLK]
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # [g_cols, SEG_BLK]
 
     accum = jax.lax.fori_loop(
         0, nchunks, body, jnp.zeros((g_cols, SEG_BLK), jnp.float32))

@@ -106,7 +106,8 @@ def composite_tiles(
 
         bw = composite.blend_weights(alpha, t_raw, t_eff)
         accum = accum + jnp.einsum("tpc,tcf->tpf", bw.weights, fea,
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32,
+                                   precision="highest")
         return (bw.t_raw, bw.t_eff, accum), None
 
     init = (

@@ -136,7 +136,8 @@ def _densify_block(trainables, opt_state, state, fields, alive, grads_avg,
     N = 2
     rot = to_rotation_matrix(getattr(gauss, f"{prefix}_rotation"))
     eps = jax.random.normal(key, (N,) + scaling.shape, dtype=scaling.dtype)
-    samples = jnp.einsum("nij,cnj->cni", rot, eps * scaling[None])
+    samples = jnp.einsum("nij,cnj->cni", rot, eps * scaling[None],
+                         precision="highest")
     base_xyz = (gauss.obj_xyz if prefix == "obj" else gauss.scene_xyz)
     new_xyz = base_xyz[None] + samples                      # [N, C, 3]
     new_scaling = jnp.log(scaling / (0.8 * N))[None].repeat(N, 0)

@@ -220,5 +220,49 @@ def main():
               flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not (len(sys.argv) > 1
+                                   and sys.argv[1] == "blocked"):
     main()
+
+
+def main2():
+    """Blocked Pallas grid sample vs the generic paths at the production
+    shape (run: python exp/lab_env.py blocked)."""
+    global RTT
+    tiny = jnp.ones((8, 8), jnp.float32)
+    f_tiny = jax.jit(lambda x: x + 1.0)
+    _ = fetch(f_tiny(tiny))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        _ = fetch(f_tiny(tiny))
+    RTT = (time.perf_counter() - t0) / 10
+    print(f"RTT {RTT*1e3:.2f} ms", flush=True)
+
+    rng = np.random.default_rng(0)
+    grid = jnp.asarray(rng.normal(size=(3, RES, RES)).astype(np.float32))
+    from adgs_tpu.models.env_map import (camera_rays, direction_to_angles,
+                                         _grid_sample_align_corners)
+    from adgs_tpu.ops.grid_sample import grid_sample_image
+    rays = camera_rays(focal=707.0, height=H, width=W)
+    world = np.stack([rays[..., 2], rays[..., 0], -rays[..., 1]],
+                     -1).astype(np.float32)
+    coords = direction_to_angles(jnp.asarray(world)) * jnp.asarray(
+        [1 / np.pi, 2 / np.pi], jnp.float32)
+    wgt = jnp.asarray(rng.normal(size=(3, H, W)).astype(np.float32))
+
+    chain_time("blocked fwd", jax.jit(grid_sample_image), grid, coords)
+    chain_time("generic fwd", jax.jit(_grid_sample_align_corners), grid,
+               coords)
+    chain_time("blocked fwd+bwd", jax.jit(jax.grad(
+        lambda g: jnp.sum(grid_sample_image(g, coords) * wgt))), grid)
+    chain_time("generic fwd+bwd", jax.jit(jax.grad(
+        lambda g: jnp.sum(_grid_sample_align_corners(g, coords) * wgt))),
+        grid)
+    a = grid_sample_image(grid, coords)
+    b = _grid_sample_align_corners(grid, coords)
+    print("fwd parity:", float(jnp.max(jnp.abs(a - b))), flush=True)
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "blocked":
+    main2()
+    sys.exit(0)
