@@ -41,9 +41,15 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-BLK = 512        # instance slots per program
-GW = 1024        # gaussian window columns (covers BLK+1 live gaussians at
-#                  >= 1/2 live density; window_spans_ok guards the rest)
+BLK = 256        # instance slots per program
+GW = 512         # gaussian window columns; the membership compare costs
+#                  capacity x GW element ops, so the window stays as small
+#                  as coverage allows (measured: (256,512) beats (512,1024)
+#                  15.0 -> 12.3 ms bin_step at 1.78M capacity — and
+#                  (128,384), where per-block overhead wins out again).
+#                  Covers BLK+1 live gaussians at >= ~2/3 live density after
+#                  the GALIGN start rounding; window_starts' ok flag guards
+#                  sparser (heavily culled) scenes with an XLA fallback.
 GALIGN = 128     # window start alignment (Mosaic lane-slice rule)
 F_TBL = 8        # table rows: excl, incl, rmin_x, rmin_y, rect_w,
 #                  dq_hi, dq_lo, gauss_index  (+ ones row would exceed 8;
