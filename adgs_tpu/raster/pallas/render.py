@@ -177,6 +177,22 @@ def _coefs(geom, ox, oy):
     return coef_op, coef_p, (mx, my, ca, cb, cc)
 
 
+def _powers(coef_op, coef_p, basis):
+    """(powerop, power) [CHUNK, P] via ONE merged MXU matmul.
+
+    The two coefficient sets share the basis operand; batching them as one
+    [8, 2*CHUNK] x [8, P] dot halves MXU op issues per chunk. Each output
+    element is the same independent 8-term dot product, so the results are
+    BITWISE identical to two separate matmuls."""
+    n = coef_op.shape[1]
+    both = jax.lax.dot_general(
+        jnp.concatenate([coef_op, coef_p], axis=1), basis,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)               # [2*CHUNK, P]
+    return both[:n], both[n:]
+
+
 def _alpha_from_powers(powerop, power, valid_rows):
     """Gated alpha [CHUNK, P] (forward.cu:344-357 semantics)."""
     alpha = jnp.minimum(ALPHA_MAX, jnp.exp(powerop))
@@ -281,14 +297,7 @@ def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref,
         pos = sub + (start_al + c * CHUNK)                 # [CHUNK, 1]
         valid = (pos >= start) & (pos < start + cnt)
         coef_op, coef_p, _ = _coefs(geom, ox, oy)
-        powerop = jax.lax.dot_general(
-            coef_op, basis, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)            # [CHUNK, P]
-        power = jax.lax.dot_general(
-            coef_p, basis, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+        powerop, power = _powers(coef_op, coef_p, basis)    # [CHUNK, P] x2
         alpha = _alpha_from_powers(powerop, power, valid)
         w, t_raw, t_eff, _ = _chunk_weights(alpha, t_raw, t_eff)
         feats = geom[F_GEOM:F_GEOM + ch, :]                # [CHo, CHUNK]
@@ -366,14 +375,7 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
         pos = sub + (start_al + c * CHUNK)
         valid = (pos >= start) & (pos < start + cnt)
         coef_op, coef_p, (mx, my, ca, cb, cc) = _coefs(geom, ox, oy)
-        powerop = jax.lax.dot_general(
-            coef_op, basis, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)            # [CHUNK, P]
-        power = jax.lax.dot_general(
-            coef_p, basis, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+        powerop, power = _powers(coef_op, coef_p, basis)    # [CHUNK, P] x2
         alpha = _alpha_from_powers(powerop, power, valid)
         w, new_raw, new_eff, (a_eff, t_excl, include) = _chunk_weights(
             alpha, t_raw, t_eff)
