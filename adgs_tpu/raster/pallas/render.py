@@ -245,7 +245,10 @@ def _chunk_weights(alpha, t_raw, t_eff):
     (>= 1e-4) and every weight it could feed is already zero."""
     one_m = 1.0 - alpha
     cum_raw = _sub_cumprod(one_m) * t_raw
-    include = (cum_raw >= T_EPS) & (t_raw >= T_EPS)
+    # cum_raw <= t_raw holds EXACTLY in f32 (every factor is <= 1, and
+    # x*y with y <= 1 rounds to <= x), so pixels terminated in an earlier
+    # chunk (t_raw < eps) are already excluded — no second compare needed
+    include = cum_raw >= T_EPS
     a_eff = jnp.where(include, alpha, 0.0)
     # exclusive product = inclusive shifted down one instance, t_raw first
     sub0 = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 0) == 0
