@@ -200,6 +200,16 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings,
                                             d_bits, num_tiles)
 
         if expander == "pallas":
+            # forced-kernel callers (tests/perf labs) get no auto fallback:
+            # warn loudly when the static window cannot cover some block —
+            # the expansion output is garbage for the uncovered slots
+            jax.lax.cond(
+                windows_ok, lambda: None,
+                lambda: jax.debug.print(
+                    "[adgs_tpu] WARNING: expander='pallas' forced but the "
+                    "gaussian window cannot cover every slot block "
+                    "(window_starts ok=False); output is unreliable — "
+                    "use expander='auto'"))
             key, gid = _expand_pallas()
         else:
             key, gid = jax.lax.cond(windows_ok, _expand_pallas, _expand_xla)

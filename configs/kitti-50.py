@@ -5,8 +5,9 @@ object_extent = 5.0
 min_camera_extent = 5.0
 order_args = dict(
     # bspline(ctrl_pts, order), poly, fft, quat-spline(ctrl_pts, order)
-    xyz=[None, 5, 0, 6, 0, 0],
-    rotation=[0, 0, 0, 0, None, 5],
+    # order 2 per reference arguments/kitti-50.py:3-5 (half-density split)
+    xyz=[None, 2, 0, 6, 0, 0],
+    rotation=[0, 0, 0, 0, None, 2],
     shs=[0, 0, 0, 6, 0, 0],
-    background=[None, 5, 0, 6, 0, 0],
+    background=[None, 2, 0, 6, 0, 0],
 )

@@ -104,7 +104,10 @@ for c in CHUNKS:
         jax.block_until_ready(steps[c](params, b0))
         print(f"# chunk {c}: warm/compile {time.perf_counter()-t0:.1f}s",
               file=sys.stderr)
-    pal.CHUNK = c
+    # NOTE: pal.CHUNK binds at TRACE time only — the cached jitted steps
+    # ignore the module constant at call time, so no re-set is needed here
+    # (and re-setting it would silently cross-contaminate arms if anything
+    # ever retraced mid-loop, e.g. on a shape change).
     step = steps[c]
     t0 = time.perf_counter()
     for _ in range(ITERS):

@@ -79,10 +79,14 @@ class TestExpandParity:
         assert int(bx.num_rendered) > 0
 
     def test_unaligned_capacity_uses_xla(self, rng):
-        # capacity not a multiple of the kernel block falls back statically
+        # capacity not a multiple of the kernel block (BLK=256) falls back
+        # statically — 640 = 2.5 * BLK keeps exercising that branch if BLK
+        # ever changes to another power of two <= 640
+        from adgs_tpu.raster.pallas import expand as expand_lib
+        assert 640 % expand_lib.BLK != 0
         prep, st, _ = _prep(rng, n=300)
-        bx = binning_lib.bin_gaussians(prep, st, capacity=768,
+        bx = binning_lib.bin_gaussians(prep, st, capacity=640,
                                        expander="xla")
-        ba = binning_lib.bin_gaussians(prep, st, capacity=768,
+        ba = binning_lib.bin_gaussians(prep, st, capacity=640,
                                        expander="auto")
         _assert_binning_equal(bx, ba)
