@@ -106,14 +106,109 @@ def load_weights(path: str) -> dict:
     return {k: jnp.asarray(z[k]) for k in z.files}
 
 
+_N_CONVS = {"vgg": 13, "alex": 5}
+
+
+def load_weights_torch(trunk_path: str, heads_path: str,
+                       net_type: str) -> dict:
+    """Ingest the reference's OWN weight files directly (no torchvision):
+
+    - `trunk_path`: a torchvision trunk checkpoint (the cached
+      `vgg16-*.pth` / `alexnet-*.pth` state dict, keys
+      `features.{i}.weight/.bias` or bare `{i}.weight/.bias`);
+    - `heads_path`: the richzhang linear heads the reference downloads
+      (lpipsPyTorch/modules/utils.py:11-30), keys `lin{i}.model.1.weight`
+      (raw) or `{i}.1.weight` (after the reference's key rename).
+
+    Only `torch.load` is needed — state-dict pickles parse without
+    torchvision installed."""
+    import torch
+
+    def _np(t):
+        return np.asarray(t.detach().cpu().numpy(), dtype=np.float32)
+
+    trunk = torch.load(trunk_path, map_location="cpu", weights_only=True)
+    convs = {}
+    for k, v in trunk.items():
+        digits = [p for p in k.split(".") if p.isdigit()]
+        if not digits or v.ndim == 0:
+            continue
+        idx = int(digits[0])
+        if k.endswith(".weight") and v.ndim == 4:
+            convs.setdefault(idx, {})["w"] = _np(v)
+        elif k.endswith(".bias") and v.ndim == 1:
+            convs.setdefault(idx, {})["b"] = _np(v)
+    conv_idx = sorted(i for i, d in convs.items() if "w" in d and "b" in d)
+    n = _N_CONVS[net_type]
+    # a full-model checkpoint also carries classifier linears (2-D) — the
+    # 4-D filter requirement above drops them; the first `n` conv layers
+    # in index order are the feature trunk
+    conv_idx = conv_idx[:n]
+    if len(conv_idx) != n:
+        raise ValueError(
+            f"{trunk_path}: found {len(conv_idx)} conv layers, "
+            f"expected {n} for net_type={net_type!r}")
+    params = {}
+    for j, i in enumerate(conv_idx):
+        params[f"conv{j}_w"] = convs[i]["w"]
+        params[f"conv{j}_b"] = convs[i]["b"]
+
+    heads = torch.load(heads_path, map_location="cpu", weights_only=True)
+    for i in range(5):
+        for key in (f"lin{i}.model.1.weight", f"{i}.1.weight"):
+            if key in heads:
+                params[f"lin{i}_w"] = _np(heads[key])
+                break
+        else:
+            raise ValueError(f"{heads_path}: missing linear head {i} "
+                             f"(keys: {sorted(heads)[:4]}...)")
+    return {k: jnp.asarray(v) for k, v in params.items()}
+
+
+def _find_torch_weights(net_type: str) -> Optional[tuple]:
+    """Locate (trunk, heads) torch checkpoints: env overrides first, then
+    the torch hub cache the reference populates when it runs."""
+    trunk = os.environ.get("ADGS_LPIPS_TORCH_TRUNK")
+    heads = os.environ.get("ADGS_LPIPS_TORCH_HEADS")
+    if trunk and heads and os.path.exists(trunk) and os.path.exists(heads):
+        return trunk, heads
+    import glob
+    hub = os.environ.get(
+        "TORCH_HOME", os.path.expanduser("~/.cache/torch"))
+    ckpt_dir = os.path.join(hub, "hub", "checkpoints")
+    pattern = "vgg16-*.pth" if net_type == "vgg" else "alexnet-*.pth"
+    trunks = sorted(glob.glob(os.path.join(ckpt_dir, pattern)))
+    heads_p = os.path.join(ckpt_dir, f"{net_type}.pth")
+    if trunks and os.path.exists(heads_p):
+        return trunks[0], heads_p
+    return None
+
+
 def lpips_fn(net_type: str = "vgg",
              weights_path: Optional[str] = None) -> Optional[Callable]:
-    """Returns a jitted lpips(x, y) or None if weights are unavailable."""
+    """Returns a jitted lpips(x, y) or None if weights are unavailable.
+
+    Weight resolution order: the given/env npz path
+    (tools/export_lpips_weights.py output), then the reference's own torch
+    checkpoints (torchvision trunk + richzhang heads, see
+    `load_weights_torch`) — so a user migrating from the reference gets
+    LPIPS in results.json with zero extra steps if their torch hub cache
+    is present."""
     path = weights_path or os.environ.get(
         "ADGS_LPIPS_WEIGHTS", f"weights/lpips_{net_type}.npz")
-    if not os.path.exists(path):
-        return None
-    params = load_weights(path)
+    if os.path.exists(path):
+        params = load_weights(path)
+    else:
+        found = _find_torch_weights(net_type)
+        if found is None:
+            return None
+        try:
+            params = load_weights_torch(found[0], found[1], net_type)
+        except Exception as e:  # torch missing / malformed file: loud skip
+            import sys
+            print(f"[adgs_tpu] LPIPS({net_type}) torch weights at "
+                  f"{found[0]} unusable: {e}", file=sys.stderr)
+            return None
     return jax.jit(lambda x, y: lpips_from_params(params, net_type, x, y))
 
 

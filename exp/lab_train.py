@@ -136,6 +136,43 @@ def main():
                       precomputed_binning=bb)["render"]
     chain_time("render fwd 4ch (no flow/objmask)", render4, params, state, b)
 
+    # decomposition of the 8ch-vs-4ch gap --------------------------------
+    @jax.jit
+    def render8_noenv(p, s, bb):
+        return render(cam, p, s, cfg, env_map=None, cam_rays=None,
+                      flow_time=jnp.float32(0.35), render_objmask=True,
+                      screen_offset=so, active_sh_degree=3,
+                      backend="pallas", capacity=CAP,
+                      precomputed_binning=bb)["render"]
+    chain_time("render fwd 8ch NO env map", render8_noenv, params, state, b)
+
+    @jax.jit
+    def render8_noflow(p, s, bb):
+        return render(cam, p, s, cfg, env_map=env, cam_rays=rays,
+                      render_objmask=True,
+                      screen_offset=so, active_sh_degree=3,
+                      backend="pallas", capacity=CAP,
+                      precomputed_binning=bb)["render"]
+    chain_time("render fwd 5ch (objmask, no flow)", render8_noflow,
+               params, state, b)
+
+    @jax.jit
+    def env_bg(e):
+        return e.image_background(rays, cam.world_view)
+    chain_time("env image_background fwd", env_bg, env)
+
+    @jax.jit
+    def env_bg_grad(e):
+        return jax.grad(
+            lambda ee: jnp.sum(ee.image_background(rays, cam.world_view))
+        )(e)
+    chain_time("env image_background fwd+bwd", env_bg_grad, env)
+
+    @jax.jit
+    def flow_deform(p):
+        return gm.deformed_xyz(p, cfg, jnp.float32(0.35))
+    chain_time("deformed_xyz (flow points) fwd", flow_deform, params)
+
     # stage 4: losses on a precomputed package (fwd only)
     pkg = jax.jit(lambda p, s, bb: render(
         cam, p, s, cfg, env_map=env, cam_rays=rays,
@@ -164,6 +201,21 @@ def main():
     tr = TrainableState(gaussians=params, env=env)
     chain_time("full loss fwd+bwd (8ch render + losses)",
                jax.jit(jax.grad(loss_fn)), tr, so)
+
+    # losses fwd+bwd w.r.t. the render package only (isolates the loss
+    # stack's backward from the render backward)
+    @jax.jit
+    def losses_grad(pk, p):
+        diff_keys = [k for k, v in pk.items()
+                     if hasattr(v, "dtype") and v.dtype == jnp.float32]
+
+        def f(dpk):
+            full = dict(pk, **dpk)
+            total, _ = compute_losses(full, batch, p, state, cfg, opt,
+                                      1.0 / 60, 20.0)
+            return total
+        return jax.grad(f)({k: pk[k] for k in diff_keys})
+    chain_time("compute_losses fwd+bwd (wrt pkg)", losses_grad, pkg, params)
 
     # stage 6: Adam alone
     grads = jax.jit(jax.grad(loss_fn))(tr, so)

@@ -129,3 +129,73 @@ def test_weight_roundtrip(tmp_path):
     direct = float(lp.lpips_from_params(params, "alex", x, y))
     np.testing.assert_allclose(float(fn(x, y)), direct, rtol=1e-5)
     assert lp.lpips_fn("alex", weights_path=str(tmp_path / "nope.npz")) is None
+
+
+class TestTorchWeightIngestion:
+    """load_weights_torch must parse the reference's own checkpoint formats
+    (torchvision trunk state dict + richzhang linear heads) without
+    torchvision, and lpips_fn must pick them up from the hub-cache layout."""
+
+    def _synthetic_alex_files(self, tmp_path, rng):
+        # torchvision alexnet state dict: convs at features.{0,3,6,8,10}
+        trunk = {}
+        in_ch = 3
+        for idx, (out_ch, k, s, p) in zip((0, 3, 6, 8, 10), lp._ALEX_LAYERS):
+            trunk[f"features.{idx}.weight"] = torch.from_numpy(
+                rng.normal(size=(out_ch, in_ch, k, k)).astype(np.float32)
+                * 0.05)
+            trunk[f"features.{idx}.bias"] = torch.from_numpy(
+                rng.normal(size=(out_ch,)).astype(np.float32) * 0.05)
+            in_ch = out_ch
+        # a classifier linear that must be ignored (2-D weight)
+        trunk["classifier.1.weight"] = torch.zeros(10, 256)
+        trunk["classifier.1.bias"] = torch.zeros(10)
+        trunk_p = str(tmp_path / "alexnet-owt-7be5be79.pth")
+        torch.save(trunk, trunk_p)
+        heads = {}
+        chans = [l[0] for l in lp._ALEX_LAYERS]
+        for i, c in enumerate(chans):
+            heads[f"lin{i}.model.1.weight"] = torch.from_numpy(
+                np.abs(rng.normal(size=(1, c, 1, 1))).astype(np.float32))
+        heads_p = str(tmp_path / "alex.pth")
+        torch.save(heads, heads_p)
+        return trunk_p, heads_p, trunk, heads
+
+    def test_parse_and_evaluate(self, tmp_path):
+        rng = np.random.default_rng(7)
+        trunk_p, heads_p, trunk, heads = self._synthetic_alex_files(
+            tmp_path, rng)
+        params = lp.load_weights_torch(trunk_p, heads_p, "alex")
+        np.testing.assert_array_equal(
+            np.asarray(params["conv0_w"]),
+            trunk["features.0.weight"].numpy())
+        np.testing.assert_array_equal(
+            np.asarray(params["lin4_w"]),
+            heads["lin4.model.1.weight"].numpy())
+        x = rng.uniform(size=(3, 40, 48)).astype(np.float32)
+        y = rng.uniform(size=(3, 40, 48)).astype(np.float32)
+        v = float(lp.lpips_from_params(params, "alex", x, y))
+        assert np.isfinite(v) and v > 0
+
+    def test_lpips_fn_discovers_hub_cache(self, tmp_path, monkeypatch):
+        rng = np.random.default_rng(8)
+        ckpt_dir = tmp_path / "hub" / "checkpoints"
+        ckpt_dir.mkdir(parents=True)
+        self._synthetic_alex_files(ckpt_dir, rng)
+        monkeypatch.setenv("TORCH_HOME", str(tmp_path))
+        monkeypatch.delenv("ADGS_LPIPS_WEIGHTS", raising=False)
+        fn = lp.lpips_fn("alex", weights_path=str(tmp_path / "absent.npz"))
+        assert fn is not None
+        x = np.zeros((3, 40, 48), np.float32)
+        y = np.ones((3, 40, 48), np.float32) * 0.5
+        assert np.isfinite(float(fn(x, y)))
+
+    def test_renamed_heads_format(self, tmp_path):
+        rng = np.random.default_rng(9)
+        trunk_p, heads_p, _, heads = self._synthetic_alex_files(
+            tmp_path, rng)
+        renamed = {k.replace("lin", "").replace("model.", ""): v
+                   for k, v in heads.items()}
+        torch.save(renamed, heads_p)
+        params = lp.load_weights_torch(trunk_p, heads_p, "alex")
+        assert params["lin0_w"].shape == (1, 64, 1, 1)
