@@ -17,6 +17,8 @@ same bucketing idea as simple-knn, fully vectorized (gather + top-k).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -110,3 +112,39 @@ def knn_indices_device(anchors: jnp.ndarray, points: jnp.ndarray, k: int,
     d2 = jnp.sum((cpts - anchors[:, None, :]) ** 2, axis=-1)
     _, top = jax.lax.top_k(-d2, k)                            # nearest k
     return order[jnp.take_along_axis(cand, top, axis=1)]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "a_cap", "window"))
+def near_idx_device(pts: jnp.ndarray, alive: jnp.ndarray,
+                    key: jnp.ndarray, k: int, a_cap: int,
+                    window: int = 64):
+    """On-device set_obj_near_idx (gaussian_model.py:825-833): random alive
+    anchors, approximate Morton-window KNN over the padded point cloud.
+
+    pts: [N, D>=3] padded (dead rows arbitrary); alive: [N] bool.
+    Returns (idx [a_cap, k] int32 padded-slot indices, valid [a_cap] bool).
+    Replaces the host cKDTree refresh (device pull + O(N log N) host work
+    every near_idx_reset_interval iters) with a fully-compiled program; the
+    neighbor sets are approximate (window-local in Morton order) — the
+    group-variance losses they feed are statistical regularizers over
+    random anchors, not exact-geometry terms."""
+    N, D = pts.shape
+    alive_col = alive[:, None]
+    lo = jnp.min(jnp.where(alive_col, pts, jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(alive_col, pts, -jnp.inf), axis=0)
+    span = jnp.maximum(hi - lo, 1e-9)
+    # dead slots move to a far corner: they Morton-sort after every alive
+    # point and lose every top-k by distance
+    pts_m = jnp.where(alive_col, pts, hi + span)
+    n_alive = jnp.sum(alive.astype(jnp.int32))
+
+    r = jax.random.uniform(key, (N,))
+    pri = jnp.where(alive, r, jnp.inf)
+    anchor_slot = jnp.argsort(pri)[:a_cap]          # random alive slots
+    anchors = pts_m[anchor_slot]
+    idx = knn_indices_device(anchors, pts_m, k, window=window)
+    n_anchor = jnp.maximum(n_alive // k, 1)
+    valid = (jnp.arange(a_cap, dtype=jnp.int32) < n_anchor) & (n_alive >= k)
+    # invalid anchors keep index 0 rows (harmless — gated by `valid`)
+    idx = jnp.where(valid[:, None], idx, 0)
+    return idx.astype(jnp.int32), valid

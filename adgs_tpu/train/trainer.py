@@ -166,10 +166,28 @@ class Trainer:
 
     def refresh_near_idx(self):
         """set_obj_near_idx (gaussian_model.py:825-833): random anchors,
-        KNN in xyz (+ time * scene_extent when time-masked)."""
+        KNN in xyz (+ time * scene_extent when time-masked).
+
+        Default path is the fully-compiled Morton-window device KNN
+        (ops/knn.near_idx_device) — no device pull, no host cKDTree in the
+        densification cadence. ADGS_KNN_HOST=1 restores the exact host
+        path (scipy) as a fallback."""
         if not self.use_near_idx:
             return
         K = self.opt.near_num
+        a_cap = max(1, self.params.obj_capacity // K)
+        if not int(os.environ.get("ADGS_KNN_HOST", "0")):
+            self.key, sub = jax.random.split(self.key)
+            pts = self.params.obj_xyz
+            if self.config.use_time_mask:
+                pts = jnp.concatenate(
+                    [pts, self.state.gs_time[:, None]
+                     * self.scene.scene_extent], axis=1)
+            idx, valid = knn.near_idx_device(
+                pts, self.state.obj_alive, sub, K, a_cap)
+            self.state = dataclasses.replace(
+                self.state, obj_near_idx=idx, obj_near_valid=valid)
+            return
         oa = np.asarray(self.state.obj_alive)
         idx_alive = np.nonzero(oa)[0]
         if len(idx_alive) < K:
@@ -184,7 +202,6 @@ class Trainer:
         nn = knn.knn_indices(pts[perm], pts, k=K)
         # map back to padded slot indices; pad anchors to a stable shape
         idx = idx_alive[nn].astype(np.int32)
-        a_cap = max(1, self.params.obj_capacity // K)
         out = np.zeros((a_cap, K), np.int32)
         valid = np.zeros(a_cap, bool)
         n = min(a_cap, idx.shape[0])

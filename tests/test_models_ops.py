@@ -263,3 +263,50 @@ class TestLossOps:
         a = jnp.zeros((3, 8, 8))
         b = jnp.ones((3, 8, 8)) * 0.1
         np.testing.assert_allclose(float(image_ops.psnr(a, b)), 20.0, atol=1e-4)
+
+
+class TestNearIdxDevice:
+    def test_parity_vs_host_refresh(self, rng):
+        """near_idx_device vs the exact scipy path: anchors are alive-only,
+        indices land on alive padded slots, and neighbor recall is high."""
+        import jax
+        N, n_alive, K = 512, 300, 8
+        pts = np.zeros((N, 4), np.float32)
+        pts[:, :3] = rng.uniform(size=(N, 3)).astype(np.float32) * 10
+        pts[:, 3] = rng.uniform(size=N).astype(np.float32) * 5
+        alive = np.zeros(N, bool)
+        alive_idx = rng.permutation(N)[:n_alive]
+        alive[alive_idx] = True
+        a_cap = N // K
+        idx, valid = knn.near_idx_device(
+            jnp.asarray(pts), jnp.asarray(alive),
+            jax.random.PRNGKey(0), K, a_cap, window=128)
+        idx, valid = np.asarray(idx), np.asarray(valid)
+        assert idx.shape == (a_cap, K) and valid.shape == (a_cap,)
+        assert valid.sum() == n_alive // K
+        # every referenced slot of a valid anchor group is alive
+        assert alive[idx[valid]].all()
+        # recall vs exact KNN over the alive subset (self is the anchor's
+        # own nearest; windows cover dense 3-D clouds well at 128)
+        exact_sets = {}
+        live_pts = pts[alive]
+        live_map = np.nonzero(alive)[0]
+        from adgs_tpu.ops.knn import knn_indices
+        for g in idx[valid]:
+            a = g[0]  # device anchor: nearest neighbor is itself
+            pos = int(np.nonzero(live_map == a)[0][0])
+            ex = live_map[knn_indices(live_pts[pos:pos + 1], live_pts, K)[0]]
+            exact_sets[int(a)] = set(map(int, ex))
+        rec = np.mean([len(set(map(int, g)) & exact_sets[int(g[0])]) / K
+                       for g in idx[valid]])
+        assert rec > 0.85, rec
+
+    def test_too_few_alive_yields_invalid(self, rng):
+        import jax
+        pts = rng.uniform(size=(64, 3)).astype(np.float32)
+        alive = np.zeros(64, bool)
+        alive[:3] = True
+        idx, valid = knn.near_idx_device(
+            jnp.asarray(pts), jnp.asarray(alive),
+            jax.random.PRNGKey(1), 8, 8)
+        assert not np.asarray(valid).any()
