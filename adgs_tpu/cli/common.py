@@ -37,6 +37,12 @@ class ModelConfig:
     capacity: int = 1 << 19
     max_per_tile: int = 4096
     chunk: int = 64
+    # multi-device training: 0/1 = single device; N > 1 builds a 1-D
+    # "tile" mesh over N local devices (parallel/shard.py)
+    devices: int = 0
+    # route primitives to intersecting tile-row slabs via all-to-all
+    # instead of all-gathering every per-primitive render column
+    primitive_exchange: bool = False
 
     order_args: Optional[dict] = None
 

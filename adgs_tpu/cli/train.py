@@ -74,7 +74,9 @@ def main(argv=None):
         inv_depth=model_cfg.inv_depth,
         seed=args.seed,
         white_background=model_cfg.white_background,
-        profile_dir=args.profile)
+        profile_dir=args.profile,
+        devices=model_cfg.devices,
+        primitive_exchange=model_cfg.primitive_exchange)
 
     if args.start_checkpoint:
         trainer.resume(args.start_checkpoint)

@@ -49,15 +49,33 @@ def _block_reduce(a, nby, nbx, fn):
 
 
 def _block_meta(yi4, xi4, Hg, Wg, nby, nbx):
-    """Aligned per-block window starts + the whole-frame coverage flag."""
+    """Aligned per-block window starts + the whole-frame coverage flag.
+
+    The azimuth axis WRAPS: a block of rays straddling the +-pi seam taps
+    columns {0..k} u {Wg-m..Wg-1} — a raw min/max window can never cover
+    it (span ~Wg), which used to fail the WHOLE frame over a handful of
+    seam blocks (any camera looking near azimuth pi). Such blocks get a
+    window start derived from half-grid-shifted extents; the kernels DMA
+    window columns modulo Wg (128-lane pieces, each start stays aligned
+    because Wg % 128 == 0) and match one-hots on (xi - x0) mod Wg."""
     y_lo = _block_reduce(yi4, nby, nbx, jnp.min)
     y_hi = _block_reduce(yi4, nby, nbx, jnp.max)
+    y0 = jnp.clip((y_lo // 8) * 8, 0, Hg - WH)
+    ok_y = (y_hi < y0 + WH) & (y_lo >= y0)
+
     x_lo = _block_reduce(xi4, nby, nbx, jnp.min)
     x_hi = _block_reduce(xi4, nby, nbx, jnp.max)
-    y0 = jnp.clip((y_lo // 8) * 8, 0, Hg - WH)
-    x0 = jnp.clip((x_lo // 128) * 128, 0, Wg - WW)
-    ok = jnp.all((y_hi < y0 + WH) & (x_hi < x0 + WW)
-                 & (y_lo >= y0) & (x_lo >= x0))
+    x0r = (x_lo // 128) * 128
+    fit_r = x_hi < x0r + WW          # contiguous window (may wrap its tail)
+    half = (Wg // 2 // 128) * 128    # 128-aligned half-grid shift
+    xs4 = jnp.where(xi4 >= half, xi4 - half, xi4 + (Wg - half))
+    xs_lo = _block_reduce(xs4, nby, nbx, jnp.min)
+    xs_hi = _block_reduce(xs4, nby, nbx, jnp.max)
+    xs0 = (xs_lo // 128) * 128
+    fit_s = xs_hi < xs0 + WW
+    x0s = jnp.where(xs0 + half >= Wg, xs0 + half - Wg, xs0 + half)
+    x0 = jnp.where(fit_r, x0r, x0s)
+    ok = jnp.all(ok_y & (fit_r | fit_s))
     return y0.reshape(-1), x0.reshape(-1), ok
 
 
@@ -68,43 +86,60 @@ def _blocked(a, nby, nbx):
             .transpose(1, 3, 0, 2, 4).reshape(nby * nbx, K, P))
 
 
-def _onehots(xi_ref, yi_ref, y0, x0, t):
+def _onehots(xi_ref, yi_ref, y0, x0, t, Wg):
     iot_h = jax.lax.broadcasted_iota(jnp.int32, (WH, P), 0)
     iot_w = jax.lax.broadcasted_iota(jnp.int32, (WW, P), 0)
     ly = yi_ref[0, t].reshape(1, P) - y0
+    # azimuth wraps: window column of tap xi is (xi - x0) mod Wg
     lx = xi_ref[0, t].reshape(1, P) - x0
+    lx = jnp.where(lx < 0, lx + Wg, lx)
     Y = (iot_h == ly).astype(jnp.float32)     # [WH, P]
     X = (iot_w == lx).astype(jnp.float32)     # [WW, P]
     return Y, X
 
 
+_NCOL = WW // 128   # window column pieces (wrap-capable DMAs)
+
+
+def _wrap_col(x0, j, Wg):
+    xj = x0 + j * 128
+    return pl.multiple_of(jnp.where(xj >= Wg, xj - Wg, xj), 128)
+
+
 def _fwd_kernel(y0s, x0s, xi_ref, yi_ref, w_ref, grid_hbm, out_ref,
-                buf, sem, *, C: int, nb: int):
+                buf, sem, *, C: int, nb: int, Wg: int):
     b = pl.program_id(0)
     y0 = y0s[b]
     x0 = x0s[b]
 
-    def get_dma(slot, bb):
-        return pltpu.make_async_copy(
+    def get_dmas(slot, bb):
+        # the window may straddle the azimuth seam: copy it as _NCOL
+        # 128-lane pieces whose grid columns wrap modulo Wg (every start
+        # stays 128-aligned because Wg % 128 == 0)
+        return [pltpu.make_async_copy(
             grid_hbm.at[:, pl.ds(pl.multiple_of(y0s[bb], 8), WH),
-                        pl.ds(pl.multiple_of(x0s[bb], 128), WW)],
-            buf.at[slot], sem.at[slot])
+                        pl.ds(_wrap_col(x0s[bb], j, Wg), 128)],
+            buf.at[slot, :, :, j * 128:(j + 1) * 128], sem.at[slot, j])
+            for j in range(_NCOL)]
 
     @pl.when(b == 0)
     def _():
-        get_dma(0, 0).start()
+        for d in get_dmas(0, 0):
+            d.start()
 
     @pl.when(b + 1 < nb)
     def _():
-        get_dma((b + 1) % 2, b + 1).start()
+        for d in get_dmas((b + 1) % 2, b + 1):
+            d.start()
 
-    get_dma(b % 2, b).wait()
+    for d in get_dmas(b % 2, b):
+        d.wait()
     win = buf[b % 2]                                  # [C, WH, WW]
 
     for c in range(C):
         acc = jnp.zeros((1, P), jnp.float32)
         for t in range(4):
-            Y, X = _onehots(xi_ref, yi_ref, y0, x0, t)
+            Y, X = _onehots(xi_ref, yi_ref, y0, x0, t, Wg)
             w = w_ref[0, t].reshape(1, P)
             tmp = jax.lax.dot_general(
                 win[c], X, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -115,28 +150,37 @@ def _fwd_kernel(y0s, x0s, xi_ref, yi_ref, w_ref, grid_hbm, out_ref,
 
 
 def _bwd_kernel(y0s, x0s, xi_ref, yi_ref, w_ref, g_ref, zeros_in, grid_hbm,
-                buf, rsem, wsem, *, C: int, nb: int):
+                buf, rsem, wsem, *, C: int, nb: int, Wg: int):
     del zeros_in  # aliased to grid_hbm; provides the zero init
     b = pl.program_id(0)
     y0 = y0s[b]
     x0 = x0s[b]
 
-    def window(bb):
-        return grid_hbm.at[:, pl.ds(pl.multiple_of(y0s[bb], 8), WH),
-                           pl.ds(pl.multiple_of(x0s[bb], 128), WW)]
+    def col_dmas(vmem_to_hbm: bool, sems):
+        out = []
+        for j in range(_NCOL):
+            hbm = grid_hbm.at[:, pl.ds(pl.multiple_of(y0s[b], 8), WH),
+                              pl.ds(_wrap_col(x0s[b], j, Wg), 128)]
+            vm = buf.at[:, :, j * 128:(j + 1) * 128]
+            out.append(pltpu.make_async_copy(
+                vm if vmem_to_hbm else hbm,
+                hbm if vmem_to_hbm else vm, sems.at[j]))
+        return out
 
     # strict read-modify-write: neighbouring image blocks' windows
-    # overlap and the grid is sequential, so read(b) must see write(b-1)
-    # — guaranteed by the write wait at the end of the previous body.
-    read = pltpu.make_async_copy(window(b), buf, rsem)
-    read.start()
+    # overlap (also through the azimuth wrap) and the grid is sequential,
+    # so read(b) must see write(b-1) — guaranteed by the write wait at
+    # the end of the previous body.
+    reads = col_dmas(False, rsem)
+    for d in reads:
+        d.start()
 
     adds = []
     for c in range(C):
         g_c = g_ref[0, c].reshape(1, P)
         acc = jnp.zeros((WH, WW), jnp.float32)
         for t in range(4):
-            Y, X = _onehots(xi_ref, yi_ref, y0, x0, t)
+            Y, X = _onehots(xi_ref, yi_ref, y0, x0, t, Wg)
             w = w_ref[0, t].reshape(1, P)
             A = Y * (w * g_c)                        # [WH, P]
             acc = acc + jax.lax.dot_general(
@@ -145,12 +189,15 @@ def _bwd_kernel(y0s, x0s, xi_ref, yi_ref, w_ref, g_ref, zeros_in, grid_hbm,
             precision=jax.lax.Precision.HIGHEST)  # [WH, WW]
         adds.append(acc)
 
-    read.wait()
+    for d in reads:
+        d.wait()
     for c in range(C):
         buf[c] += adds[c]
-    put = pltpu.make_async_copy(buf, window(b), wsem)
-    put.start()
-    put.wait()
+    writes = col_dmas(True, wsem)
+    for d in writes:
+        d.start()
+    for d in writes:
+        d.wait()
 
 
 def _tap_blocks(grid_shape, coords, H, W, nby, nbx):
@@ -179,7 +226,7 @@ def sample_image_pallas(grid, xi_b, yi_b, w_b, y0, x0,
     tap_spec = pl.BlockSpec((1, 4, P), lambda b, *_: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, C=C, nb=nb),
+        functools.partial(_fwd_kernel, C=C, nb=nb, Wg=grid.shape[2]),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nb,),
@@ -189,7 +236,7 @@ def sample_image_pallas(grid, xi_b, yi_b, w_b, y0, x0,
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((2, C, WH, WW), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2, _NCOL)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((nb, C, P), jnp.float32),
@@ -210,7 +257,7 @@ def scatter_image_pallas(g_b, grid_shape, xi_b, yi_b, w_b, y0, x0,
     tap_spec = pl.BlockSpec((1, 4, P), lambda b, *_: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, C=C, nb=nb),
+        functools.partial(_bwd_kernel, C=C, nb=nb, Wg=Wg),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nb,),
@@ -221,8 +268,8 @@ def scatter_image_pallas(g_b, grid_shape, xi_b, yi_b, w_b, y0, x0,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((C, WH, WW), jnp.float32),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA((_NCOL,)),
+                pltpu.SemaphoreType.DMA((_NCOL,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((C, Hg, Wg), jnp.float32),

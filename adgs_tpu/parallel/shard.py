@@ -91,6 +91,7 @@ def _render_local_slab(prep: Preprocessed, settings: RasterSettings,
     # shard_map body, never vmapped — safe for the pallas/auto expander
     b = binning_lib.bin_gaussians(wprep, local, capacity=capacity,
                                   expander="auto")
+    num_rendered = b.num_rendered
 
     feats = [wprep.rgb, composite_lib.depth_feature(
         wprep.depth, settings.inv_depth)[:, None]]
@@ -117,7 +118,7 @@ def _render_local_slab(prep: Preprocessed, settings: RasterSettings,
     slab = slab.reshape(gy * TILE_Y, gx * 16, ch)
     t = out.final_t.reshape(gy, gx, TILE_Y, 16).transpose(0, 2, 1, 3)
     t = t.reshape(gy * TILE_Y, gx * 16)
-    return slab, t, wprep.visible
+    return slab, t, wprep.visible, num_rendered
 
 
 def _slice_gaussian_axis(tree, d: jnp.ndarray, D: int, scene_cap: int,
@@ -141,6 +142,13 @@ def _slice_gaussian_axis(tree, d: jnp.ndarray, D: int, scene_cap: int,
             return jnp.concatenate([s, o], axis=0)
         return x
     return jax.tree.map(f, tree)
+
+
+def default_exchange_capacity(n_loc: int, D: int) -> int:
+    """Initial per-pair exchange capacity: 4x the uniform share, like the
+    instance-capacity autotuner's headroom (overflow-flagged, grown by the
+    trainer when the flag fires)."""
+    return max(64, -(-4 * n_loc // D) // 8 * 8)
 
 
 def _exchange_primitives(payload, dev_lo, dev_hi, D: int, axis: str,
@@ -250,8 +258,8 @@ def sharded_render_images(
                 # RENDER payload only to the slabs its rect intersects
                 n_loc = prep_loc.mean2d.shape[0]
                 ns = params.scene_capacity // D
-                cap_pair = exchange_capacity or max(
-                    64, -(-4 * n_loc // D) // 8 * 8)
+                cap_pair = (exchange_capacity
+                            or default_exchange_capacity(n_loc, D))
                 rlo = prep_loc.rect_min[:, 1] // rows_per_dev
                 rhi = jnp.clip((prep_loc.rect_max[:, 1] - 1) // rows_per_dev,
                                0, D - 1)
@@ -287,13 +295,14 @@ def sharded_render_images(
                 if sem_loc is not None:
                     semantic = rows[:, c:c + 1]
                 radii_full = gather_blocks(prep_loc.radii)
-                slab, t, _ = _render_local_slab(
+                slab, t, _, nrend = _render_local_slab(
                     prep, settings, rows_per_dev, axis, flow_points,
                     semantic, capacity, max_per_tile, chunk, backend=backend)
                 slabs = jax.lax.all_gather(slab, axis)
                 ts = jax.lax.all_gather(t, axis)
+                nrend = jax.lax.pmax(nrend, axis)
                 return (slabs, ts, radii_full > 0, radii_full,
-                        pkg, ex_overflow)
+                        pkg, ex_overflow, nrend)
 
             prep = jax.tree.map(gather_blocks, prep_loc)
             flow_points = (gather_blocks(flow_loc)
@@ -310,15 +319,16 @@ def sharded_render_images(
                 pkg["xyz"], activated_scaling(params), pkg["rotation"],
                 pkg["opacity"], pkg["shs"], settings,
                 screen_offset=screen_offset, active_mask=state.alive)
-        slab, t, visible = _render_local_slab(
+        slab, t, visible, nrend = _render_local_slab(
             prep, settings, rows_per_dev, axis, flow_points, semantic,
             capacity, max_per_tile, chunk, backend=backend)
         slabs = jax.lax.all_gather(slab, axis)      # [D, rows*TY, W_pad, CH]
         ts = jax.lax.all_gather(t, axis)
         # visible anywhere -> visible (for densification stats)
         visible = jax.lax.psum(visible.astype(jnp.int32), axis) > 0
+        nrend = jax.lax.pmax(nrend, axis)
         return (slabs, ts, visible, prep.radii, pkg,
-                jnp.asarray(False))
+                jnp.asarray(False), nrend)
 
     spec_rep = P()
     # jit the shard_map program: called eagerly it would dispatch the inner
@@ -329,11 +339,11 @@ def sharded_render_images(
         inner, mesh=mesh,
         in_specs=(spec_rep, spec_rep, spec_rep),
         out_specs=(P(axis), P(axis), spec_rep, spec_rep, spec_rep,
-                   spec_rep),
+                   spec_rep, spec_rep),
         check_vma=False))
     if screen_offset is None:
         screen_offset = jnp.zeros((params.capacity, 2), dtype=jnp.float32)
-    slabs, ts, visible, radii, pkg, ex_overflow = fn(
+    slabs, ts, visible, radii, pkg, ex_overflow, num_rendered = fn(
         params, state, screen_offset)
 
     H, W = settings.image_height, settings.image_width
@@ -373,6 +383,8 @@ def sharded_render_images(
         # callers grow exchange_capacity the way the trainer grows the
         # instance capacity (always False on the all-gather path)
         "exchange_overflow": ex_overflow,
+        # max over devices: drives the trainer's instance-capacity autotune
+        "num_rendered": num_rendered,
         **pkg,
     }
 
@@ -395,10 +407,12 @@ def make_sharded_train_step(
     inv_depth: bool = True,
     backend: str = "auto",
     primitive_exchange: bool = False,
+    exchange_capacity: Optional[int] = None,
 ):
     """Sharded analog of train.step.make_train_step: one jitted multi-device
     program (render sharded by tile rows, losses global, grads psum'd by the
-    shard_map transpose, Adam replicated)."""
+    shard_map transpose, Adam replicated). Same call signature as the
+    single-device step — the Trainer swaps it in when built with a mesh."""
 
     render_objmask = opt.lambda_obj > 0.0
 
@@ -418,10 +432,14 @@ def make_sharded_train_step(
                 screen_offset=so, active_sh_degree=active_sh_degree,
                 inv_depth=inv_depth, capacity=capacity,
                 max_per_tile=max_per_tile, chunk=chunk, backend=backend,
-                primitive_exchange=primitive_exchange)
+                primitive_exchange=primitive_exchange,
+                exchange_capacity=exchange_capacity)
             total, logs = compute_losses(
                 pkg, batch, trainables.gaussians, state, config, opt,
                 frame_gap, scene_extent)
+            # autotune signals for the trainer (instance + exchange caps)
+            logs = dict(logs, num_rendered=pkg["num_rendered"],
+                        exchange_overflow=pkg["exchange_overflow"])
             return total, (logs, pkg["radii"], pkg["visibility_filter"])
 
         trainables = TrainableState(gaussians=params, env=env)

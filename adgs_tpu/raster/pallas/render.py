@@ -200,30 +200,57 @@ def _alpha_from_powers(powerop, power, valid_rows):
     return jnp.where(gate, 0.0, alpha)
 
 
-def _sub_cumsum(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive cumsum along the FIRST (sublane/instance) axis via log-step
-    rolls — Mosaic has no native cumsum. O(log n) rotate+add steps."""
-    n = x.shape[0]
-    sub = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+# group size for the two-level sublane scans: log2(S) masked roll steps
+# over the full [CHUNK, P] array + an inter-group scan on [CHUNK/S, P]
+# tails (1/S the data) + one broadcast combine — ~14 elementwise passes
+# at S=16 vs ~24 for the flat log-step scan over CHUNK=256 (the scans are
+# the kernels' VPU backbone, PERF.md round-2 profile). 0 = flat scan.
+PREFIX_S = int(_os.environ.get("ADGS_PREFIX_S", 16))
+
+
+def _scan_sub(x: jnp.ndarray, combine, identity: float) -> jnp.ndarray:
+    """Inclusive scan along the FIRST (sublane/instance) axis — Mosaic has
+    no native scan. Two-level masked-roll scheme (flat when PREFIX_S=0)."""
+    n, p = x.shape
+    S = PREFIX_S
+    if S <= 0 or S >= n or n % S:
+        sub = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        k = 1
+        while k < n:
+            shifted = pltpu.roll(x, shift=k, axis=0)
+            x = combine(x, jnp.where(sub >= k, shifted, identity))
+            k *= 2
+        return x
+    G = n // S
+    # group-local Hillis-Steele: the (sub mod S) >= k mask stops carries at
+    # group boundaries, so each S-row group scans independently
+    subm = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) % S
+    y = x
     k = 1
-    while k < n:
-        shifted = pltpu.roll(x, shift=k, axis=0)
-        x = x + jnp.where(sub >= k, shifted, 0.0)
+    while k < S:
+        shifted = pltpu.roll(y, shift=k, axis=0)
+        y = combine(y, jnp.where(subm >= k, shifted, identity))
         k *= 2
-    return x
+    y3 = y.reshape(G, S, p)
+    tails = y3[:, S - 1, :]                      # [G, P] group totals
+    subg = jax.lax.broadcasted_iota(jnp.int32, tails.shape, 0)
+    t = tails
+    k = 1
+    while k < G:
+        shifted = pltpu.roll(t, shift=k, axis=0)
+        t = combine(t, jnp.where(subg >= k, shifted, identity))
+        k *= 2
+    # exclusive inter-group carry, broadcast back over each group's rows
+    excl = jnp.where(subg == 0, identity, pltpu.roll(t, shift=1, axis=0))
+    return combine(y3, excl[:, None, :]).reshape(n, p)
+
+
+def _sub_cumsum(x: jnp.ndarray) -> jnp.ndarray:
+    return _scan_sub(x, jnp.add, 0.0)
 
 
 def _sub_cumprod(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive cumulative PRODUCT along the sublane axis (same log-step
-    roll scheme as _sub_cumsum with multiplicative identity)."""
-    n = x.shape[0]
-    sub = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-    k = 1
-    while k < n:
-        shifted = pltpu.roll(x, shift=k, axis=0)
-        x = x * jnp.where(sub >= k, shifted, 1.0)
-        k *= 2
-    return x
+    return _scan_sub(x, jnp.multiply, 1.0)
 
 
 def _chunk_weights(alpha, t_raw, t_eff):

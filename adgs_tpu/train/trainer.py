@@ -91,7 +91,10 @@ class Trainer:
                  seed: int = 0,
                  capacity_quantum: int = 4096,
                  white_background: bool = False,
-                 profile_dir: Optional[str] = None):
+                 profile_dir: Optional[str] = None,
+                 devices: int = 0,
+                 primitive_exchange: bool = False,
+                 exchange_capacity: int = 0):
         self.scene = scene
         self.opt = opt
         self.model_path = model_path
@@ -104,6 +107,21 @@ class Trainer:
         self.resolution = resolution
         self.capacity_quantum = capacity_quantum
         self.profile_dir = profile_dir
+        # multi-device training (SURVEY §2.3 new TPU scope): devices > 1
+        # builds a 1-D "tile" mesh and swaps in the sharded train step
+        # (parallel/shard.py) — tile-row pixel sharding + 1/D primitive
+        # sharding, with optional duplicateWithKeys-style routing
+        self.devices = int(devices)
+        self.primitive_exchange = primitive_exchange
+        self.exchange_capacity = int(exchange_capacity)
+        self.mesh = None
+        if self.devices > 1:
+            from ..parallel.mesh import make_mesh
+            self.mesh = make_mesh({"tile": self.devices})
+            if capacity_quantum % self.devices:
+                raise ValueError(
+                    f"capacity_quantum {capacity_quantum} must divide by "
+                    f"devices {self.devices} (1/D primitive sharding)")
         self.rng = random.Random(seed)
         self.np_rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed)
@@ -157,6 +175,21 @@ class Trainer:
         return self._ray_cache[cam_id]
 
     def _build_step(self):
+        if self.mesh is not None:
+            from ..parallel.shard import (make_sharded_train_step,
+                                          default_exchange_capacity)
+            if not self.exchange_capacity:
+                self.exchange_capacity = default_exchange_capacity(
+                    self.params.capacity // self.devices, self.devices)
+            self._step_fn = make_sharded_train_step(
+                self.config, self.opt, self.scene.frame_gap,
+                self.scene.scene_extent, self.scene.cameras_extent,
+                mesh=self.mesh, backend=self.backend,
+                capacity=self.capacity, max_per_tile=self.max_per_tile,
+                chunk=self.chunk, inv_depth=self.inv_depth,
+                primitive_exchange=self.primitive_exchange,
+                exchange_capacity=self.exchange_capacity)
+            return
         self._step_fn = make_train_step(
             self.config, self.opt, self.scene.frame_gap,
             self.scene.scene_extent, self.scene.cameras_extent,
@@ -210,6 +243,17 @@ class Trainer:
         self.state = dataclasses.replace(
             self.state, obj_near_idx=jnp.asarray(out),
             obj_near_valid=jnp.asarray(valid))
+
+    def _grow_exchange_capacity(self):
+        """The primitive-exchange all-to-all dropped rows (shard.py
+        exchange_overflow): grow the per-pair capacity 1.5x and rebuild the
+        sharded step — the same overflow-driven autotune pattern as the
+        instance capacity."""
+        self.exchange_capacity = -(-int(self.exchange_capacity * 1.5) // 8) * 8
+        print(f"[autotune] exchange_capacity -> {self.exchange_capacity}",
+              file=sys.stderr)
+        self._step_fn = None
+        self._build_step()
 
     def _maybe_grow_instance_capacity(self, num_rendered: int):
         """Overflow-driven autotuning of the duplicated-instance capacity
@@ -339,6 +383,9 @@ class Trainer:
             if it % self.opt.densification_interval == 0:
                 self._maybe_grow_instance_capacity(
                     int(logs["num_rendered"]))
+                if (self.mesh is not None
+                        and bool(logs.get("exchange_overflow", False))):
+                    self._grow_exchange_capacity()
             if it % 200 == 0:
                 n = int(self.state.num_scene) + int(self.state.num_obj)
                 print(f"[{it}/{iterations}] loss={ema:.5f} pts={n} "

@@ -41,6 +41,117 @@ CHUNK = int(os.environ.get("BENCH_CHUNK", 64))
 # on real TPU (round-1 gap: flow/semantic channels only ever interpreted)
 BENCH_TRAIN = int(os.environ.get("BENCH_TRAIN", 1))
 TRAIN_N_GAUSS = int(os.environ.get("BENCH_TRAIN_N_GAUSS", N_GAUSS))
+# compiled-path parity: interpret-mode pytest cannot catch Mosaic/XLA
+# compiled miscompiles (the f32->bf16 matmul truncation bug, commit
+# 70a5031, passed every CPU test). Every bench run therefore renders one
+# deterministic scene via the Pallas kernels AND the XLA tiled tier ON
+# CHIP and asserts image + probe-gradient parity before timing anything.
+BENCH_PARITY = int(os.environ.get("BENCH_PARITY", 1))
+
+
+def compiled_parity_check():
+    """Pallas-vs-XLA parity compiled on the real chip (raster + env map).
+
+    Bar: the pairwise-tier assertions of tests/test_raster.py:184-214 and
+    tests/test_grid_sample.py, but compiled instead of interpreted."""
+    import jax
+    import jax.numpy as jnp
+    from adgs_tpu.core.camera import Camera
+    from adgs_tpu.raster.api import rasterize
+    from adgs_tpu.render import settings_for_camera
+
+    rng = np.random.default_rng(42)
+    n = 3000
+    pts = np.zeros((n, 3), dtype=np.float32)
+    pts[:, 2] = rng.uniform(2.0, 30.0, n)
+    pts[:, 0] = rng.uniform(-0.6, 0.6, n) * pts[:, 2]
+    pts[:, 1] = rng.uniform(-0.25, 0.25, n) * pts[:, 2]
+    shs = rng.normal(size=(n, 16, 3)).astype(np.float32) * 0.2
+    scales = np.exp(rng.normal(size=(n, 3)) * 0.4 - 2.2).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    opac = rng.uniform(0.2, 0.9, n).astype(np.float32)
+    cam = Camera.create(R=np.eye(3), T=np.zeros(3), fovx=1.2, fovy=0.6,
+                        width=256, height=128)
+    settings = settings_for_camera(cam, sh_degree=3)
+    args = dict(means3d=jnp.asarray(pts), shs=jnp.asarray(shs),
+                scales=jnp.asarray(scales), rotations=jnp.asarray(quats),
+                opacities=jnp.asarray(opac), settings=settings,
+                capacity=1 << 15, max_per_tile=2048)
+    probe = jnp.asarray(rng.normal(size=(3, 128, 256)).astype(np.float32))
+
+    def run(backend):
+        def loss(p):
+            out = rasterize(backend=backend, **dict(args, means3d=p))
+            return jnp.sum(out.color * probe), out.color
+        (val, img), grad = jax.jit(
+            jax.value_and_grad(loss, has_aux=True))(args["means3d"])
+        return np.asarray(img), np.asarray(grad)
+
+    img_p, grad_p = run("pallas")
+    img_x, grad_x = run("xla")
+
+    def assert_parity(a, b, what, outlier_bound):
+        """Miscompile-discriminating compare: the two tiers legitimately
+        differ by isolated alpha-GATE flips (an ulp of separately-compiled
+        preprocess rounding moves alpha across the 1/255 gate, changing
+        that pixel by up to ~alpha_min) — sparse, bounded outliers. A real
+        miscompile (e.g. the bf16 truncation bug, commit 70a5031) shifts
+        the WHOLE field by ~1e-3 relative. So: tiny mean error, rare and
+        bounded outliers."""
+        scale = max(float(np.abs(b).max()), 1e-3)
+        d = np.abs(a - b) / scale
+        mean_d = float(d.mean())
+        frac_big = float((d > 1e-3).mean())
+        max_d = float(d.max())
+        print(f"# parity {what}: mean {mean_d:.2e} frac>1e-3 "
+              f"{frac_big:.2e} max {max_d:.2e}", file=sys.stderr)
+        # reassociation noise across tiers reads ~1e-5 mean; the bf16
+        # truncation signature reads ~1e-3 — 1e-4 splits them decisively
+        assert mean_d < 1e-4, f"{what}: mean rel err {mean_d:.2e} (compiled)"
+        assert frac_big < 1e-3, (f"{what}: {frac_big:.2e} of elements off "
+                                 f">1e-3 (compiled)")
+        assert max_d < outlier_bound, (f"{what}: max rel err {max_d:.2e} "
+                                       f"(compiled)")
+
+    assert_parity(img_p, img_x, "pallas vs xla IMAGE", 0.02)
+    assert_parity(grad_p, grad_x, "pallas vs xla GRAD", 0.02)
+
+    # env-map blocked sampler vs generic gather/scatter, compiled,
+    # including an azimuth-seam-crossing frame
+    import jax.numpy as jnp2
+    from adgs_tpu.ops import grid_sample as gs
+    from adgs_tpu.models.env_map import _grid_sample_align_corners
+    grid = jnp.asarray(rng.normal(size=(3, 512, 512)).astype(np.float32))
+    H, W = 40, 96
+    yy = np.linspace(0.1, 0.3, H)
+    xx = np.linspace(0.92, 1.08, W)
+    xx = np.where(xx > 1.0, xx - 2.0, xx)
+    coords = jnp.asarray(np.clip(np.stack(
+        np.meshgrid(xx, yy, indexing="xy"), axis=-1), -1, 1)
+        .astype(np.float32))
+    nby, nbx = -(-H // gs.BH), -(-W // gs.BW)
+    *_, ok = gs._tap_blocks(grid.shape, coords, H, W, nby, nbx)
+    assert bool(ok), "env fast path must cover the seam frame"
+    gcot = jnp.asarray(rng.normal(size=(3, H, W)).astype(np.float32))
+
+    @jax.jit
+    def env_pair(g):
+        fast = gs.grid_sample_image(g, coords)
+        gen = _grid_sample_align_corners(g, coords)
+        d_fast = jax.grad(
+            lambda gg: jnp.sum(gs.grid_sample_image(gg, coords) * gcot))(g)
+        d_gen = jax.grad(lambda gg: jnp.sum(
+            _grid_sample_align_corners(gg, coords) * gcot))(g)
+        return fast, gen, d_fast, d_gen
+
+    fast, gen, d_fast, d_gen = jax.tree.map(np.asarray, env_pair(grid))
+    np.testing.assert_allclose(fast, gen, rtol=1e-5, atol=1e-5,
+                               err_msg="env sampler FWD mismatch (compiled)")
+    np.testing.assert_allclose(d_fast, d_gen, rtol=1e-5, atol=1e-5,
+                               err_msg="env sampler BWD mismatch (compiled)")
+    print("# compiled parity: pallas==xla raster (image+grad), "
+          "env fast==generic (fwd+bwd, seam) -- OK", file=sys.stderr)
 
 
 def bench_train_step():
@@ -129,6 +240,8 @@ def main():
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    if BENCH_PARITY:
+        compiled_parity_check()
     import jax.numpy as jnp
     from adgs_tpu.core.camera import Camera
     from adgs_tpu.raster.api import rasterize
