@@ -75,8 +75,8 @@ def _block_meta(yi4, xi4, Hg, Wg, nby, nbx):
     fit_s = xs_hi < xs0 + WW
     x0s = jnp.where(xs0 + half >= Wg, xs0 + half - Wg, xs0 + half)
     x0 = jnp.where(fit_r, x0r, x0s)
-    ok = jnp.all(ok_y & (fit_r | fit_s))
-    return y0.reshape(-1), x0.reshape(-1), ok
+    ok_b = ok_y & (fit_r | fit_s)
+    return y0.reshape(-1), x0.reshape(-1), ok_b.reshape(-1)
 
 
 def _blocked(a, nby, nbx):
@@ -99,6 +99,53 @@ def _onehots(xi_ref, yi_ref, y0, x0, t, Wg):
 
 
 _NCOL = WW // 128   # window column pieces (wrap-capable DMAs)
+MAXBAD = 64         # residual-patched uncoverable blocks per frame
+
+
+def _bad_blocks(ok_b):
+    """(bad_idx [MB], valid [MB]), MB = min(MAXBAD, nb): ids of the first
+    blocks whose window cannot cover their taps (stable order)."""
+    nb = ok_b.shape[0]
+    mb = min(MAXBAD, nb)
+    order = jnp.argsort(ok_b.astype(jnp.int32), stable=True)  # bad first
+    bad_idx = order[:mb]
+    valid = jnp.arange(mb) < jnp.sum(~ok_b)
+    return jnp.where(valid, bad_idx, nb), valid
+
+
+def _residual_fwd(grid, xi_b, yi_b, w_b, bad_idx, valid):
+    """Direct bilinear sums for the residual blocks: [MAXBAD, C, P]."""
+    C, Hg, Wg = grid.shape
+    safe = jnp.minimum(bad_idx, xi_b.shape[0] - 1)
+    xi = xi_b[safe]                                   # [MB, 4, P]
+    yi = yi_b[safe]
+    w = w_b[safe]
+    mb = xi.shape[0]
+    flat = (yi * Wg + xi).reshape(-1)                 # [MB*4*P]
+    flat = jax.lax.optimization_barrier(flat)
+    vals = grid.reshape(C, -1)[:, flat]               # [C, MB*4*P]
+    vals = vals.reshape(C, mb, 4, P)
+    out = jnp.einsum("cmtp,mtp->mcp", vals, w,
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.where(valid[:, None, None], out, 0.0)
+
+
+def _residual_bwd(g_b, grid_shape, xi_b, yi_b, w_b, bad_idx, valid):
+    """Scatter-add the residual blocks' cotangents: [C, Hg, Wg]."""
+    C, Hg, Wg = grid_shape
+    nb = g_b.shape[0]
+    safe = jnp.minimum(bad_idx, xi_b.shape[0] - 1)
+    xi = xi_b[safe]
+    yi = yi_b[safe]
+    w = w_b[safe]
+    g_bad = g_b[jnp.minimum(bad_idx, nb - 1)]         # [MB, C, P]
+    flat = (yi * Wg + xi).reshape(-1)
+    flat = jnp.where(jnp.repeat(valid, 4 * P), flat, Hg * Wg)  # drop pad
+    vals = jnp.einsum("mcp,mtp->cmtp", g_bad, w,
+                      precision=jax.lax.Precision.HIGHEST).reshape(C, -1)
+    chans = [jnp.zeros((Hg * Wg,), jnp.float32).at[flat].add(
+        vals[c], mode="drop") for c in range(C)]
+    return jnp.stack(chans).reshape(C, Hg, Wg)
 
 
 def _wrap_col(x0, j, Wg):
@@ -212,15 +259,21 @@ def _tap_blocks(grid_shape, coords, H, W, nby, nbx):
     xi4 = jnp.stack([t[0] for t in taps])
     yi4 = jnp.stack([t[1] for t in taps])
     w4 = jnp.stack([t[2].astype(jnp.float32) for t in taps])
-    y0, x0, ok = _block_meta(yi4, xi4, grid_shape[1], grid_shape[2],
-                             nby, nbx)
+    y0, x0, ok_b = _block_meta(yi4, xi4, grid_shape[1], grid_shape[2],
+                               nby, nbx)
+    # up to MAXBAD uncoverable blocks (pole / optical-axis singularities,
+    # extreme zoom) are patched by direct residual gathers/scatters; only
+    # beyond that does the WHOLE frame drop to the generic path
+    ok = jnp.sum(~ok_b) <= MAXBAD
     return (_blocked(xi4, nby, nbx), _blocked(yi4, nby, nbx),
-            _blocked(w4, nby, nbx), y0, x0, ok)
+            _blocked(w4, nby, nbx), y0, x0, ok_b, ok)
 
 
 def sample_image_pallas(grid, xi_b, yi_b, w_b, y0, x0,
-                        nby: int, nbx: int) -> jnp.ndarray:
-    """[C, Hg, Wg] x blocked taps -> [C, nby*BH, nbx*BW]."""
+                        nby: int, nbx: int,
+                        as_blocks: bool = False) -> jnp.ndarray:
+    """[C, Hg, Wg] x blocked taps -> [C, nby*BH, nbx*BW]
+    (or the raw [nb, C, P] blocks with as_blocks=True)."""
     C = grid.shape[0]
     nb = nby * nbx
     tap_spec = pl.BlockSpec((1, 4, P), lambda b, *_: (b, 0, 0),
@@ -244,6 +297,8 @@ def sample_image_pallas(grid, xi_b, yi_b, w_b, y0, x0,
             dimension_semantics=("arbitrary",)),
         interpret=_interpret(),
     )(y0, x0, xi_b, yi_b, w_b, grid)
+    if as_blocks:
+        return out
     # [nb, C, P] -> [C, H, W]
     return (out.reshape(nby, nbx, C, BH, BW)
             .transpose(2, 0, 3, 1, 4).reshape(C, nby * BH, nbx * BW))
@@ -301,12 +356,19 @@ def _gsi_fwd(grid, coords):
         return _grid_sample_align_corners(grid, coords), (grid.shape,
                                                           coords)
     nby, nbx = -(-H // BH), -(-W // BW)
-    xi_b, yi_b, w_b, y0, x0, ok = _tap_blocks(grid.shape, coords, H, W,
-                                              nby, nbx)
+    xi_b, yi_b, w_b, y0, x0, ok_b, ok = _tap_blocks(grid.shape, coords,
+                                                    H, W, nby, nbx)
 
     def fast(g):
-        return sample_image_pallas(g, xi_b, yi_b, w_b, y0, x0,
-                                   nby, nbx)[:, :H, :W]
+        out_b = sample_image_pallas(g, xi_b, yi_b, w_b, y0, x0, nby, nbx,
+                                    as_blocks=True)          # [nb, C, P]
+        bad_idx, valid = _bad_blocks(ok_b)
+        res = _residual_fwd(g, xi_b, yi_b, w_b, bad_idx, valid)
+        out_b = out_b.at[bad_idx].set(res, mode="drop")
+        C = g.shape[0]
+        out = (out_b.reshape(nby, nbx, C, BH, BW)
+               .transpose(2, 0, 3, 1, 4).reshape(C, nby * BH, nbx * BW))
+        return out[:, :H, :W]
 
     def slow(g):
         return _grid_sample_align_corners(g, coords)
@@ -323,14 +385,21 @@ def _gsi_bwd(res, g):
     small_grid = Hg < WH or Wg < WW
     nby, nbx = -(-H // BH), -(-W // BW)
     if not small_grid:
-        xi_b, yi_b, w_b, y0, x0, ok = _tap_blocks(grid_shape, coords,
-                                                  H, W, nby, nbx)
+        xi_b, yi_b, w_b, y0, x0, ok_b, ok = _tap_blocks(grid_shape, coords,
+                                                        H, W, nby, nbx)
 
     def fast(gg):
         gp = jnp.pad(gg, ((0, 0), (0, nby * BH - H), (0, nbx * BW - W)))
         g_b = _blocked(gp, nby, nbx)
-        return scatter_image_pallas(g_b, grid_shape, xi_b, yi_b, w_b,
-                                    y0, x0, nby, nbx)
+        # residual blocks: zero their cotangent into the kernel (its
+        # windows cannot represent them) and scatter-add directly instead
+        bad_idx, valid = _bad_blocks(ok_b)
+        g_kern = g_b * ok_b[:, None, None].astype(g_b.dtype)
+        d1 = scatter_image_pallas(g_kern, grid_shape, xi_b, yi_b, w_b,
+                                  y0, x0, nby, nbx)
+        d2 = _residual_bwd(g_b, grid_shape, xi_b, yi_b, w_b, bad_idx,
+                           valid)
+        return d1 + d2
 
     def slow(gg):
         # generic flat per-channel scatter (see env_map._grid_sample_bwd)

@@ -200,12 +200,13 @@ def _alpha_from_powers(powerop, power, valid_rows):
     return jnp.where(gate, 0.0, alpha)
 
 
-# group size for the two-level sublane scans: log2(S) masked roll steps
-# over the full [CHUNK, P] array + an inter-group scan on [CHUNK/S, P]
-# tails (1/S the data) + one broadcast combine — ~14 elementwise passes
-# at S=16 vs ~24 for the flat log-step scan over CHUNK=256 (the scans are
-# the kernels' VPU backbone, PERF.md round-2 profile). 0 = flat scan.
-PREFIX_S = int(_os.environ.get("ADGS_PREFIX_S", 16))
+# group size for the two-level sublane scans (0 = flat log-step scan,
+# the measured default). The grouped scheme does fewer nominal passes
+# (~14 vs ~24 at S=16, CHUNK=256) but LOSES on chip: 12.04 vs 12.43 it/s
+# end-to-end (S=8: 11.74) — the [G, S, P] reshape, the strided tail
+# extract and the [G, 1, P] broadcast each cost Mosaic relayout passes
+# that eat the savings (exp/lab_prefix.py, ABAB same-session).
+PREFIX_S = int(_os.environ.get("ADGS_PREFIX_S", 0))
 
 
 def _scan_sub(x: jnp.ndarray, combine, identity: float) -> jnp.ndarray:

@@ -56,6 +56,39 @@ def _group_variance_loss(values: jnp.ndarray, idx: jnp.ndarray,
     return jnp.sum(per_group * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
+def gaussian_term_losses(
+    params: GaussianParams,
+    state: GaussianState,
+    opt: OptimizationConfig,
+    frame_gap: float,
+) -> tuple[jnp.ndarray, dict]:
+    """The per-Gaussian (image-free) loss terms: KNN-variance regularizers
+    and the time-sigma prior. Factored out so the slab-sharded loss path
+    (parallel/shard.py) can compute image terms per device and add these
+    once on replicated parameters."""
+    total = jnp.float32(0.0)
+    logs: dict = {}
+    if opt.lambda_reg > 0.0:
+        rg = _group_variance_loss(params.xyz_deform, state.obj_near_idx,
+                                  state.obj_near_valid)
+        total = total + opt.lambda_reg * rg
+        logs["reg_loss"] = rg
+    if opt.lambda_sigma > 0.0:
+        sigma = jnp.exp(params.gs_time_sigma)
+        alive = state.obj_alive.astype(jnp.float32)
+        per = jnp.abs(frame_gap / jnp.mean(sigma, axis=-1))
+        sg = jnp.sum(per * alive) / jnp.maximum(jnp.sum(alive), 1.0)
+        total = total + opt.lambda_sigma * sg
+        logs["sigma_loss"] = sg
+        if opt.lambda_sigma_reg > 0.0:
+            sr = _group_variance_loss(params.gs_time_sigma,
+                                      state.obj_near_idx,
+                                      state.obj_near_valid)
+            total = total + opt.lambda_sigma_reg * sr
+            logs["sigma_reg_loss"] = sr
+    return total, logs
+
+
 def compute_losses(
     render_pkg: dict,
     batch: FrameBatch,

@@ -60,11 +60,11 @@ class TestBlockedSampler:
                                    rtol=1e-5, atol=1e-6)
 
     def test_uncoverable_frame_falls_back(self, rng):
-        """A frame whose rays span the whole grid must take the generic
-        path (ok=False) and still be correct."""
+        """A frame with MORE than MAXBAD uncoverable blocks must take the
+        generic path (ok=False) and still be correct."""
         Hg = Wg = 512
         grid = jnp.asarray(rng.normal(size=(3, Hg, Wg)).astype(np.float32))
-        H, W = 16, 64
+        H, W = 80, 256  # 80 blocks, all random -> bad count > MAXBAD=64
         c = rng.uniform(-1, 1, size=(H, W, 2)).astype(np.float32)  # random
         coords = jnp.asarray(c)
         nby, nbx = -(-H // gs.BH), -(-W // gs.BW)
@@ -73,3 +73,32 @@ class TestBlockedSampler:
         got = gs.grid_sample_image(grid, coords)
         want = _grid_sample_align_corners(grid, coords)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+class TestResidualBlocks:
+    def test_singular_block_patched(self, rng):
+        """A frame with a few uncoverable blocks (pole singularity: azimuth
+        sweeps the whole grid inside one block) must stay on the fast path
+        via the residual patch and still match the generic result."""
+        Hg = Wg = 512
+        grid = jnp.asarray(rng.normal(size=(3, Hg, Wg)).astype(np.float32))
+        H, W = 40, 96
+        c = np.array(_coords(rng, H, W))
+        # corrupt one block with wild coords (pole-like)
+        c[8:16, 32:64, 0] = rng.uniform(-1, 1, size=(8, 32))
+        coords = jnp.asarray(c)
+        nby, nbx = -(-H // gs.BH), -(-W // gs.BW)
+        *_, ok_b, ok = gs._tap_blocks(grid.shape, coords, H, W, nby, nbx)
+        assert bool(ok) and not bool(ok_b.all())
+
+        got = gs.grid_sample_image(grid, coords)
+        want = _grid_sample_align_corners(grid, coords)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+        gcot = jnp.asarray(rng.normal(size=(3, H, W)).astype(np.float32))
+        d_fast = jax.grad(lambda g: jnp.sum(
+            gs.grid_sample_image(g, coords) * gcot))(grid)
+        d_gen = jax.grad(lambda g: jnp.sum(
+            _grid_sample_align_corners(g, coords) * gcot))(grid)
+        np.testing.assert_allclose(np.asarray(d_fast), np.asarray(d_gen),
+                                   rtol=1e-5, atol=1e-6)
