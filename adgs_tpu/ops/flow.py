@@ -35,6 +35,39 @@ def flow_points_project(pts: jnp.ndarray, K: jnp.ndarray, R: jnp.ndarray,
     return uv, mask
 
 
+def flow_loss_sums(img_flow: jnp.ndarray, flow_img: jnp.ndarray,
+                   vis_img: jnp.ndarray, K, R, T,
+                   img_opacity: jnp.ndarray | None = None,
+                   dist: float = 1e-3,
+                   full_hw: tuple[int, int] | None = None,
+                   pix_mask: jnp.ndarray | None = None):
+    """Per-pixel decomposition of flow_loss: (err_sum, vis_count).
+
+    Every term is pixel-local, so slab-sharded callers psum the two sums
+    and divide once. full_hw: the FULL image (H, W) used for the axis
+    normalization and bounds (the slab may be a row slice of it);
+    pix_mask: [h,w] validity of this region's pixels (row padding)."""
+    H, W = full_hw if full_hw is not None else flow_img.shape[1:]
+    vis = ((vis_img > 0.5)
+           & (flow_img[0] <= W - 1.0) & (flow_img[0] >= 0.0)
+           & (flow_img[1] <= H - 1.0) & (flow_img[1] >= 0.0))
+    if pix_mask is not None:
+        vis = vis & (pix_mask > 0)
+    count = jnp.sum(vis)
+    weight = vis.astype(img_flow.dtype)
+    if img_opacity is not None:
+        weight = weight * img_opacity
+
+    pts = img_flow.reshape(3, -1).T                      # [hw, 3]
+    uv, front = flow_points_project(pts, K, R, T, dist)
+    weight = weight.reshape(-1) * front.astype(weight.dtype)
+
+    target = flow_img.reshape(2, -1).T                   # [hw, 2]
+    err = jnp.abs(uv - target) * weight[:, None]
+    err = err.at[:, 0].divide(W).at[:, 1].divide(H)
+    return jnp.sum(err), count
+
+
 def flow_loss(img_flow: jnp.ndarray, pkg: FlowPackage,
               img_opacity: jnp.ndarray | None = None,
               dist: float = 1e-3) -> jnp.ndarray:
@@ -43,23 +76,9 @@ def flow_loss(img_flow: jnp.ndarray, pkg: FlowPackage,
     img_flow: [3,H,W] blended 3D flow points; pkg.flow: [2,H,W] targets.
     Weighted per-pixel by visibility (and rendered opacity), axes normalized
     by W and H, mean over the SELECTED pixels."""
-    H, W = pkg.flow.shape[1:]
-    vis = ((pkg.vis > 0.5)
-           & (pkg.flow[0] <= W - 1.0) & (pkg.flow[0] >= 0.0)
-           & (pkg.flow[1] <= H - 1.0) & (pkg.flow[1] >= 0.0))
-    count = jnp.sum(vis)
-    weight = vis.astype(img_flow.dtype)
-    if img_opacity is not None:
-        weight = weight * img_opacity
-
-    pts = img_flow.reshape(3, -1).T                      # [HW, 3]
-    uv, front = flow_points_project(pts, pkg.K, pkg.R, pkg.T, dist)
-    weight = weight.reshape(-1) * front.astype(weight.dtype)
-
-    target = pkg.flow.reshape(2, -1).T                   # [HW, 2]
-    err = jnp.abs(uv - target) * weight[:, None]
-    err = err.at[:, 0].divide(W).at[:, 1].divide(H)
-    total = jnp.sum(err) / jnp.maximum(count, 1)
+    total, count = flow_loss_sums(img_flow, pkg.flow, pkg.vis,
+                                  pkg.K, pkg.R, pkg.T, img_opacity, dist)
+    total = total / jnp.maximum(count, 1)
     return jnp.where(count > 0, total, 0.0)
 
 

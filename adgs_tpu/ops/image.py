@@ -48,9 +48,12 @@ def _depthwise_filter(img: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
         precision="highest")
 
 
-def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11
-         ) -> jnp.ndarray:
-    """Mean SSIM over [C,H,W] or [B,C,H,W] images in [0,1]."""
+def ssim_map(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11
+             ) -> jnp.ndarray:
+    """Per-pixel SSIM map (same shape as the inputs). The map at pixel p
+    depends only on the window_size//2-neighbourhood of p, so slab-sharded
+    callers (parallel/shard.py) can compute it on a halo-extended slab and
+    crop — value-identical to the full-image computation."""
     if img1.ndim == 3:
         img1 = img1[None]
         img2 = img2[None]
@@ -65,9 +68,14 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11
     sigma2_sq = f[:, 3 * C:4 * C] - mu2_sq
     sigma12 = f[:, 4 * C:5 * C] - mu1_mu2
     C1, C2 = 0.01 ** 2, 0.03 ** 2
-    ssim_map = (((2 * mu1_mu2 + C1) * (2 * sigma12 + C2))
-                / ((mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)))
-    return jnp.mean(ssim_map)
+    return (((2 * mu1_mu2 + C1) * (2 * sigma12 + C2))
+            / ((mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)))
+
+
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11
+         ) -> jnp.ndarray:
+    """Mean SSIM over [C,H,W] or [B,C,H,W] images in [0,1]."""
+    return jnp.mean(ssim_map(img1, img2, window_size))
 
 
 def mse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

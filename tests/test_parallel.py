@@ -181,3 +181,66 @@ class TestShardedTrainer:
                      primitive_exchange=True, exchange_capacity=8)
         tr.train(iterations=10, save_iterations=[], test_iterations=[])
         assert tr.exchange_capacity > 8, "overflow autotune never fired"
+
+
+class TestSlabLosses:
+    """loss_mode='slab' (per-device image losses, SSIM halo exchange,
+    psum'd statistics) vs loss_mode='gathered' (all-gather + replicated
+    loss stack): the two must agree to f32-reassociation tolerance."""
+
+    @pytest.mark.parametrize("with_flow", [False, True])
+    def test_slab_matches_gathered(self, rng, mesh, with_flow):
+        from adgs_tpu.ops.flow import FlowPackage
+        params, state, cfg, _ = tiny_model(rng, n=100, quantum=128)
+        params = gm.set_init_time_sigma(params, 0.05)
+        H = W = 48
+        cam = fx.make_camera(width=W, height=H, time=0.3)
+        env = EnvironmentMap.create(resolution=512)
+        rays = jnp.asarray(camera_rays(cam.focal_x, cam.height, cam.width),
+                           dtype=jnp.float32)
+        gt = jnp.asarray(rng.uniform(size=(3, H, W)), dtype=jnp.float32)
+        flow = None
+        if with_flow:
+            K = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]],
+                         np.float32)
+            flow = FlowPackage(
+                time=jnp.float32(0.5), K=jnp.asarray(K),
+                R=jnp.eye(3, dtype=jnp.float32),
+                T=jnp.zeros(3, jnp.float32),
+                flow=jnp.asarray(rng.uniform(size=(2, H, W)) * W,
+                                 dtype=jnp.float32),
+                vis=jnp.ones((H, W), jnp.float32))
+        batch = FrameBatch(
+            image=gt,
+            depth=jnp.asarray(rng.uniform(size=(H, W)), jnp.float32),
+            sky=jnp.asarray(rng.random((H, W)) < 0.2, jnp.float32),
+            semantic=jnp.asarray(rng.random((H, W)) < 0.3, jnp.float32),
+            flow=flow,
+            flow_valid=jnp.asarray(True) if with_flow else None)
+        opt = OptimizationConfig(
+            lambda_flow=0.1 if with_flow else 0.0,
+            lambda_obj=0.1, lambda_sigma=0.0, lambda_reg=0.0,
+            lambda_sigma_reg=0.0)
+        kw = dict(frame_gap=0.05, scene_extent=10.0, cameras_extent=10.0,
+                  capacity=1 << 12, max_per_tile=256, mesh=mesh)
+        opt_state = init_adam(TrainableState(gaussians=params, env=env))
+
+        outs = {}
+        for mode in ("gathered", "slab"):
+            step = make_sharded_train_step(cfg, opt, loss_mode=mode, **kw)
+            outs[mode] = step(params, env, opt_state, state, cam, batch,
+                              rays, jnp.float32(1), active_sh_degree=0)
+        lg = {k: float(v) for k, v in outs["gathered"][4].items()}
+        ls = {k: float(v) for k, v in outs["slab"][4].items()}
+        for k in ("total_loss", "l1_loss", "dssim_loss", "depth_loss",
+                  "obj_loss", "sky_loss") + (("flow_loss",) if with_flow
+                                             else ()):
+            np.testing.assert_allclose(ls[k], lg[k], rtol=2e-5, atol=1e-7,
+                                       err_msg=k)
+        # parameter updates agree
+        np.testing.assert_allclose(outs["slab"][0].scene_xyz,
+                                   outs["gathered"][0].scene_xyz,
+                                   rtol=1e-3, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(outs["slab"][3].denom),
+                                   np.asarray(outs["gathered"][3].denom),
+                                   atol=0)
