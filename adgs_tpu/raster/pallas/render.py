@@ -66,6 +66,16 @@ import os as _os
 # instances per DMA block (env override for perf sweeps; capacity is
 # 4096-quantized so any power of two <= 4096 divides it)
 CHUNK = int(_os.environ.get("ADGS_PALLAS_CHUNK", 256))
+# matmul precision for FLOAT-VALUE dots (powers, feature accum, gradient
+# moments, segment reduce): "high" = bf16x3 (~2^-21 relative error, half
+# the MXU passes of "highest"). Integer-exact tables (binning cumsum,
+# expansion) stay HIGHEST regardless — see CLAUDE.md invariant.
+# NOTE: Mosaic REJECTS Precision.HIGH in compiled Pallas kernels ("high"
+# works only in interpret mode / the XLA tiers); the compiled-path lever
+# is the manual bf16 hi+lo split (exp/lab_prec.py finding).
+MM_PREC = {"high": jax.lax.Precision.HIGH,
+           "highest": jax.lax.Precision.HIGHEST}[
+    _os.environ.get("ADGS_MM_PREC", "highest")]
 P = TILE_PIX         # 256 pixels per tile
 
 
@@ -189,7 +199,7 @@ def _powers(coef_op, coef_p, basis):
         jnp.concatenate([coef_op, coef_p], axis=1), basis,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)               # [2*CHUNK, P]
+        precision=MM_PREC)                                 # [2*CHUNK, P]
     return both[:n], both[n:]
 
 
@@ -335,7 +345,7 @@ def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref,
         accum = accum + jax.lax.dot_general(
             feats, w, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)            # [CHo, P]
+            precision=MM_PREC)            # [CHo, P]
         return c + 1, t_raw, t_eff, accum
 
     init = (jnp.int32(0),
@@ -416,7 +426,7 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
         fg = jax.lax.dot_general(
             feats, g[:ch, :], dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=MM_PREC)
         b = w * fg
         prefix_incl = _sub_cumsum(b) + prefix
         inv1m = 1.0 / (1.0 - a_eff)
@@ -435,7 +445,7 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
         MT = jax.lax.dot_general(
             basis, d_powerop, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=MM_PREC)
         d_c0 = MT[0:1, :]
         d_c1 = MT[1:2, :]
         d_c2 = MT[2:3, :]
@@ -455,7 +465,7 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
         d_feat = jax.lax.dot_general(
             g[:ch, :], w, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=MM_PREC)
 
         grows = jnp.concatenate(
             [d_mx, d_my, d_ca, d_cb, d_cc, d_lo, d_feat], axis=0)
@@ -569,7 +579,7 @@ def _segreduce_kernel(bounds, gm_hbm, start_ref, end_ref, out_ref,
             chunk, member,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)  # [g_cols, SEG_BLK]
+            precision=MM_PREC)  # [g_cols, SEG_BLK]
 
     accum = jax.lax.fori_loop(
         0, nchunks, body, jnp.zeros((g_cols, SEG_BLK), jnp.float32))

@@ -31,6 +31,10 @@ def main():
     p.add_argument("--height", type=int, default=256)
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--force_cpu_devices", type=int, default=0)
+    p.add_argument("--exchange", action="store_true",
+                   help="primitive-exchange routing (per-device work "
+                        "scales ~1/D; the all-gather tier leaves O(N) "
+                        "window/bin-table work replicated)")
     args = p.parse_args()
 
     if args.force_cpu_devices:
@@ -68,14 +72,30 @@ def main():
             print(f"# skipping {d} devices (have {len(all_devices)})")
             continue
         mesh = Mesh(np.asarray(all_devices[:d]), ("tile",))
+        # per-SLAB instance capacity, autotuned from the worst slab's true
+        # count (the trainer does the same via the pmax'd num_rendered in
+        # the step logs) — a fixed full-scene capacity would make every
+        # device pay the whole scene's integer-pipeline cost at any D
         step = make_sharded_train_step(
             cfg, opt, frame_gap=1 / 60, scene_extent=20.0,
             cameras_extent=10.0, mesh=mesh, capacity=1 << 16,
-            max_per_tile=1024)
+            max_per_tile=1024, primitive_exchange=args.exchange)
         opt_state = init_adam(TrainableState(gaussians=params, env=env))
         out = step(params, env, opt_state, state, cam, batch, rays,
                    jnp.float32(1), active_sh_degree=1)
         jax.block_until_ready(out)
+        nr = int(out[-1]["num_rendered"])
+        cap = max(4096, -(-int(nr / 0.8) // 4096) * 4096)
+        if cap < (1 << 16):
+            step = make_sharded_train_step(
+                cfg, opt, frame_gap=1 / 60, scene_extent=20.0,
+                cameras_extent=10.0, mesh=mesh, capacity=cap,
+                max_per_tile=1024, primitive_exchange=args.exchange)
+            out = step(params, env, opt_state, state, cam, batch, rays,
+                       jnp.float32(1), active_sh_degree=1)
+            jax.block_until_ready(out)
+        print(f"# devices {d}: per-slab num_rendered {nr}, capacity {cap}",
+              file=sys.stderr)
         t0 = time.perf_counter()
         for _ in range(args.iters):
             out = step(params, env, opt_state, state, cam, batch, rays,
