@@ -218,6 +218,50 @@ def _alpha_from_powers(powerop, power, valid_rows):
 # that eat the savings (exp/lab_prefix.py, ABAB same-session).
 PREFIX_S = int(_os.environ.get("ADGS_PREFIX_S", 0))
 
+# sublane-prefix strategy: "mxu" evaluates the scans as ONE triangular
+# matmul on the MXU (cumprod via log space, matching the XLA reference
+# tier composite.py:81); "roll" is the log-step masked-roll chain.
+# MEASURED (exp/lab_scan.py, ABAB same-session): "mxu" LOSES, 11.0 vs
+# 12.4 it/s end-to-end — the triangular matmul spends n/2 useless MACs
+# per output (~50M MACs/chunk even with the 3-limb single-pass trick),
+# ~3.6 ms net per converted scan at bench scale, more than the ~24-pass
+# roll chain it replaces. Numerics of the limb-split route are fine
+# (|dgrad|rel 7e-5), so the path is kept as a measured dead end and for
+# interpret-mode cross-checking. Default: roll.
+SCAN = _os.environ.get("ADGS_SCAN", "roll")
+
+
+def _tri_strict(n: int) -> jnp.ndarray:
+    """[n, n] strictly-lower-triangular ones (i > j): EXCLUSIVE prefix."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (i > j).astype(jnp.float32)
+
+
+def _tri_incl(n: int) -> jnp.ndarray:
+    """[n, n] lower-triangular ones incl. the diagonal: INCLUSIVE prefix."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (i >= j).astype(jnp.float32)
+
+
+def _mxu_prefix(tri: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """prefix[i, p] = sum_{j in tri row i} x[j, p] as ONE wide MXU matmul.
+
+    x is split into three exactly-bf16 limbs batched along the lane axis
+    (one [n, n] x [n, 3P] dot — same merged-operand trick as _powers);
+    tri is 0/1 (exact in bf16), so DEFAULT precision loses nothing."""
+    n, p = x.shape
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    rem = x - hi
+    mid = rem.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = rem - mid
+    limbs = jnp.concatenate([hi, mid, lo], axis=1)          # [n, 3P]
+    out = jax.lax.dot_general(
+        tri, limbs, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [n, 3P]
+    return out[:, :p] + out[:, p:2 * p] + out[:, 2 * p:]
+
 
 def _scan_sub(x: jnp.ndarray, combine, identity: float) -> jnp.ndarray:
     """Inclusive scan along the FIRST (sublane/instance) axis — Mosaic has
@@ -282,15 +326,25 @@ def _chunk_weights(alpha, t_raw, t_eff):
     raw product to zero, which is exact here: by then every gate compare
     (>= 1e-4) and every weight it could feed is already zero."""
     one_m = 1.0 - alpha
-    cum_raw = _sub_cumprod(one_m) * t_raw
+    if SCAN == "mxu":
+        # cumprod as an EXCLUSIVE log-space MXU prefix (strict triangle),
+        # then one multiply recovers the inclusive product — same math as
+        # the XLA reference tier (composite.py:81), fed by log1p for
+        # small-alpha accuracy. exp(s) <= 1 for s <= 0 in round-to-nearest
+        # and one_m <= 1, so the cum_raw <= t_raw invariant below holds.
+        excl = _mxu_prefix(_tri_strict(alpha.shape[0]), jnp.log1p(-alpha))
+        t_excl = jnp.exp(excl) * t_raw
+        cum_raw = t_excl * one_m
+    else:
+        cum_raw = _sub_cumprod(one_m) * t_raw
+        # exclusive product = inclusive shifted down one, t_raw first
+        sub0 = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 0) == 0
+        t_excl = jnp.where(sub0, t_raw, pltpu.roll(cum_raw, shift=1, axis=0))
     # cum_raw <= t_raw holds EXACTLY in f32 (every factor is <= 1, and
     # x*y with y <= 1 rounds to <= x), so pixels terminated in an earlier
     # chunk (t_raw < eps) are already excluded — no second compare needed
     include = cum_raw >= T_EPS
     a_eff = jnp.where(include, alpha, 0.0)
-    # exclusive product = inclusive shifted down one instance, t_raw first
-    sub0 = jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 0) == 0
-    t_excl = jnp.where(sub0, t_raw, pltpu.roll(cum_raw, shift=1, axis=0))
     w = a_eff * t_excl
     new_eff = jnp.minimum(
         jnp.min(jnp.where(include, cum_raw, jnp.inf), axis=0, keepdims=True),
@@ -428,7 +482,10 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
             preferred_element_type=jnp.float32,
             precision=MM_PREC)
         b = w * fg
-        prefix_incl = _sub_cumsum(b) + prefix
+        if SCAN == "mxu":
+            prefix_incl = _mxu_prefix(_tri_incl(b.shape[0]), b) + prefix
+        else:
+            prefix_incl = _sub_cumsum(b) + prefix
         inv1m = 1.0 / (1.0 - a_eff)
         # dT_final/dalpha_j = -T_final/(1-alpha_j): the kernel's T output
         # is the transmittance itself (the wrapper forms opacity = 1 - T)

@@ -71,6 +71,32 @@ class TestPallasBackward:
                 g_pal[k], g_ref[k], rtol=5e-3, atol=2e-5,
                 err_msg=f"pallas grad mismatch for {k}")
 
+    def test_scan_mxu_parity(self, rng, monkeypatch):
+        """The MXU triangular-matmul prefix tier (SCAN="mxu") matches the
+        roll tier to f32-limb precision (a measured-slower but kept path;
+        see render.py SCAN docs)."""
+        from adgs_tpu.raster.pallas import render as pal
+        st, g = _scene(rng, n=128, w=48, h=32)
+        target = jnp.asarray(rng.uniform(size=(3, 32, 48)), dtype=jnp.float32)
+
+        def loss(params):
+            out = rasterize(
+                means3d=params["means3d"], opacities=params["opacities"],
+                scales=params["scales"], rotations=params["rotations"],
+                settings=st, shs=params["shs"], backend="pallas",
+                capacity=1 << 13)
+            return (jnp.mean(jnp.abs(out.color - target))
+                    + 0.1 * jnp.mean(out.depth))
+
+        monkeypatch.setattr(pal, "SCAN", "roll")
+        l_roll, g_roll = jax.value_and_grad(loss)(g)
+        monkeypatch.setattr(pal, "SCAN", "mxu")
+        l_mxu, g_mxu = jax.value_and_grad(loss)(g)
+        np.testing.assert_allclose(float(l_mxu), float(l_roll), rtol=1e-5)
+        for k in g:
+            np.testing.assert_allclose(g_mxu[k], g_roll[k], rtol=1e-3,
+                                       atol=1e-6, err_msg=k)
+
     def test_flow_semantic_grads(self, rng):
         st, g = _scene(rng, n=96, w=48, h=32)
         flow = jnp.asarray(rng.normal(size=(96, 3)), dtype=jnp.float32)
