@@ -84,6 +84,13 @@ class Binning(NamedTuple):
     gauss_start: jnp.ndarray  # [N] int32 exclusive prefix sum of
     #                           tiles_touched (gaussian i's presort slots are
     #                           [gauss_start[i], gauss_start[i]+tiles[i]))
+    window_ok: jnp.ndarray | None = None
+    #                           scalar bool (None off the pallas path):
+    #                           False = the windowed expansion couldn't
+    #                           cover some slot block and "auto" fell back
+    #                           to the XLA expansion (observability: the
+    #                           fallback costs ~6-7 ms at 1M — bench and
+    #                           perf labs report its frequency)
 
 
 def depth_bits_for(num_tiles: int) -> int:
@@ -184,6 +191,7 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings,
         gid = jnp.where(valid, gid, 0)
         return key, gid
 
+    window_ok_out = None
     if expander != "xla" and N > 0:
         from .pallas import expand as expand_lib
     if (expander != "xla" and N > 0
@@ -213,6 +221,7 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings,
             key, gid = _expand_pallas()
         else:
             key, gid = jax.lax.cond(windows_ok, _expand_pallas, _expand_xla)
+        window_ok_out = windows_ok
     else:
         key, gid = _expand_xla()
 
@@ -238,6 +247,7 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings,
         overflow=overflow,
         slot_sorted=jnp.where(valid_s, slot_s, capacity),
         gauss_start=starts,
+        window_ok=window_ok_out,
     )
 
 

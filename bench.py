@@ -185,8 +185,12 @@ def bench_train_step():
                                      capacity=1 << 10).num_rendered
     )(params, state))
     cap_train = -(-int(nr / 0.8) // 4096) * 4096
-    print(f"# train scene: num_rendered {nr}, capacity {cap_train}",
-          file=sys.stderr)
+    wok = jax.jit(
+        lambda p, s: compute_binning(cam, p, s, cfg, active_sh_degree=3,
+                                     capacity=cap_train).window_ok
+    )(params, state)
+    print(f"# train scene: num_rendered {nr}, capacity {cap_train}, "
+          f"expansion window_ok={bool(wok)}", file=sys.stderr)
     opt = OptimizationConfig()
     step = make_train_step(
         cfg, opt, frame_gap=1.0 / 60, scene_extent=20.0,
@@ -331,6 +335,11 @@ def main():
         def step(p):
             b = bin_step(p)
             return grad_step(p, b)
+
+        wok = bin_step(params).window_ok
+        print(f"# pallas expansion window_ok={bool(wok)} "
+              f"(False = XLA-expansion fallback, ~6-7 ms/it slower)",
+              file=sys.stderr)
     else:
         def loss_fn(p):
             out = rasterize(means3d=p["means3d"], opacities=p["opacities"],

@@ -58,7 +58,7 @@ class TestExpandParity:
         _assert_binning_equal(bx, bp)
 
     def test_fallback_on_uncoverable_window(self, rng):
-        # 97% of gaussians culled: 512-slot blocks span >GW table columns,
+        # 97% of gaussians culled: BLK-slot blocks span >GW table columns,
         # so the auto path must lax.cond into the XLA expansion
         cam = fx.make_camera(width=96, height=80)
         st = fx.settings_from_camera(cam)
