@@ -46,7 +46,14 @@ def _group_variance_loss(values: jnp.ndarray, idx: jnp.ndarray,
     regularizer (train.py:103-105, 111-114). torch.var is unbiased (ddof=1).
 
     values: [No, ...]; idx: [A,K]; valid: [A]."""
-    g = values[idx]                                   # [A,K,...]
+    # barrier-isolate the gather: fused into the train step's elementwise
+    # fusions it SCALARIZES (the known TPU pathology, PERF.md item 2) —
+    # measured 144 ms inside the full train graph vs 0.22 ms standalone
+    # (exp/lab_trainbwd.py). The barrier's transpose isolates the backward
+    # scatter-add the same way.
+    values = jax.lax.optimization_barrier(values)
+    idx = jax.lax.optimization_barrier(idx)
+    g = jax.lax.optimization_barrier(values[idx])     # [A,K,...]
     mean = jnp.mean(g, axis=1, keepdims=True)
     k = idx.shape[1]
     var = jnp.sum((g - mean) ** 2, axis=1) / jnp.maximum(k - 1, 1)  # [A,...]
