@@ -86,11 +86,11 @@ class Binning(NamedTuple):
     #                           [gauss_start[i], gauss_start[i]+tiles[i]))
     window_ok: jnp.ndarray | None = None
     #                           scalar bool (None off the pallas path):
-    #                           False = the windowed expansion couldn't
-    #                           cover some slot block and "auto" fell back
-    #                           to the XLA expansion (observability: the
-    #                           fallback costs ~6-7 ms at 1M — bench and
-    #                           perf labs report its frequency)
+    #                           False = dead-gaussian runs blew the direct
+    #                           window and "auto" took the live-compacted
+    #                           expansion (one extra u32 sort + row gather,
+    #                           ~4-5 ms at 1M — bench and perf labs report
+    #                           its frequency)
 
 
 def depth_bits_for(num_tiles: int) -> int:
@@ -201,11 +201,27 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings,
         g_base, windows_ok = expand_lib.window_starts(offsets, starts,
                                                       capacity)
         # the f32 table is exact only below 2^24 (counts, ids)
-        windows_ok &= (num_rendered < (1 << 24)) & (N < (1 << 24))
+        fits_f32 = (num_rendered < (1 << 24)) & (N < (1 << 24))
+        windows_ok &= fits_f32
 
         def _expand_pallas():
             return expand_lib.expand_pallas(tbl, g_base, capacity, grid_x,
                                             d_bits, num_tiles)
+
+        def _expand_compact():
+            # dead-gaussian runs blew the direct window: reorder the table
+            # live-first (bitwise-identical outputs) so the GW_COMPACT
+            # window covers by construction; the residual XLA fallback can
+            # only fire above the f32-exactness gate checked in fits_f32
+            tbl_c, g_base_c, ok_c = expand_lib.compact_live_table(
+                prep.tiles_touched, starts, offsets, prep.rect_min,
+                prep.rect_max, depth_q, capacity)
+            return jax.lax.cond(
+                ok_c,
+                lambda: expand_lib.expand_pallas(
+                    tbl_c, g_base_c, capacity, grid_x, d_bits, num_tiles,
+                    gw=expand_lib.GW_COMPACT),
+                _expand_xla)
 
         if expander == "pallas":
             # forced-kernel callers (tests/perf labs) get no auto fallback:
@@ -220,7 +236,10 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings,
                     "use expander='auto'"))
             key, gid = _expand_pallas()
         else:
-            key, gid = jax.lax.cond(windows_ok, _expand_pallas, _expand_xla)
+            key, gid = jax.lax.cond(
+                windows_ok, _expand_pallas,
+                lambda: jax.lax.cond(fits_f32, _expand_compact,
+                                     _expand_xla))
         window_ok_out = windows_ok
     else:
         key, gid = _expand_xla()

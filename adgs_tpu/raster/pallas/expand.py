@@ -49,7 +49,13 @@ GW = 512         # gaussian window columns; the membership compare costs
 #                  (128,384), where per-block overhead wins out again).
 #                  Covers BLK+1 live gaussians at >= ~2/3 live density after
 #                  the GALIGN start rounding; window_starts' ok flag guards
-#                  sparser (heavily culled) scenes with an XLA fallback.
+#                  sparser (heavily culled) scenes, which compact first.
+GW_COMPACT = 384  # window for LIVE-COMPACTED tables: every span in the
+#                  live prefix is non-empty, so a BLK-slot block intersects
+#                  <= BLK+1 spans and the GALIGN start rounding wastes
+#                  <= GALIGN-1 columns — 127 + 257 <= 384 covers ALWAYS
+#                  (below the 2^24 f32-exactness gate); the smaller window
+#                  also cuts the membership-compare cost 25%.
 GALIGN = 128     # window start alignment (Mosaic lane-slice rule)
 F_TBL = 8        # table rows: excl, incl, rmin_x, rmin_y, rect_w,
 #                  dq_hi, dq_lo, gauss_index  (+ ones row would exceed 8;
@@ -59,13 +65,14 @@ _R_EXCL, _R_INCL, _R_RMX, _R_RMY, _R_RW, _R_DQH, _R_DQL, _R_GID = range(8)
 
 
 def _expand_kernel(g_base, tbl_hbm, key_ref, gid_ref, buf, sem, *,
-                   grid_x: int, d_bits: int, num_tiles: int, nblocks: int):
+                   grid_x: int, d_bits: int, num_tiles: int, nblocks: int,
+                   gw: int):
     c = pl.program_id(0)
     base = pl.multiple_of(g_base[c], GALIGN)
 
     def get_dma(slot, blk):
         return pltpu.make_async_copy(
-            tbl_hbm.at[:, pl.ds(pl.multiple_of(g_base[blk], GALIGN), GW)],
+            tbl_hbm.at[:, pl.ds(pl.multiple_of(g_base[blk], GALIGN), gw)],
             buf.at[slot], sem.at[slot])
 
     # cross-grid-step double buffering: the window for block c+1 was started
@@ -115,14 +122,18 @@ def _expand_kernel(g_base, tbl_hbm, key_ref, gid_ref, buf, sem, *,
     gid_ref[0] = gid
 
 
+def _n_pad(n: int, gw: int) -> int:
+    return max(-(-n // GALIGN) * GALIGN, gw) + gw
+
+
 def build_table(starts: jnp.ndarray, offsets: jnp.ndarray,
                 rect_min: jnp.ndarray, rect_max: jnp.ndarray,
-                depth_q: jnp.ndarray) -> jnp.ndarray:
+                depth_q: jnp.ndarray, gw: int = GW) -> jnp.ndarray:
     """[F_TBL, N_pad] f32 component-major per-Gaussian table (lane-major
     rows so the kernel's membership compare needs no transpose). All values
     are integers below 2^24, exact in f32 (callers gate on that)."""
     n = starts.shape[0]
-    n_pad = max(-(-n // GALIGN) * GALIGN, GW) + GW
+    n_pad = _n_pad(n, gw)
     rw = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
     rows = jnp.stack([
         starts, offsets, rect_min[:, 0], rect_min[:, 1], rw,
@@ -136,32 +147,101 @@ def build_table(starts: jnp.ndarray, offsets: jnp.ndarray,
 
 
 def window_starts(offsets: jnp.ndarray, starts: jnp.ndarray,
-                  capacity: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+                  capacity: int, gw: int = GW
+                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Aligned per-block gaussian-window starts + coverage flag.
 
     g_lo(c) = first gaussian whose span reaches past c*BLK;
-    g_hi(c) = one past the last gaussian starting before (c+1)*BLK.
-    The static [base, base+GW) window covers every block iff
-    g_hi <= base + GW for all blocks (base = g_lo aligned down)."""
+    g_hi(c) = one past the last gaussian starting before (c+1)*BLK whose
+    span is NON-EMPTY: any gaussian with start >= total has an empty span
+    (spans partition [0, total)) and never matches a slot, so the block
+    query is clamped to total — without the clamp, every block past the
+    last live gaussian would demand a window over the dead/padding tail.
+    The static [base, base+gw) window covers every block iff
+    g_hi <= base + gw for all blocks (base = g_lo aligned down)."""
     nblocks = capacity // BLK
+    total = offsets[-1]
     qs = jnp.arange(nblocks, dtype=jnp.int32) * BLK
     g_lo = jnp.searchsorted(offsets, qs, side="right").astype(jnp.int32)
-    g_hi = jnp.searchsorted(starts, qs + BLK, side="left").astype(jnp.int32)
+    g_hi = jnp.searchsorted(starts, jnp.minimum(qs + BLK, total),
+                            side="left").astype(jnp.int32)
     n = offsets.shape[0]
-    n_pad = max(-(-n // GALIGN) * GALIGN, GW) + GW
-    base = jnp.clip((g_lo // GALIGN) * GALIGN, 0, n_pad - GW)
-    ok = jnp.all(g_hi <= base + GW)
+    n_pad = _n_pad(n, gw)
+    base = jnp.clip((g_lo // GALIGN) * GALIGN, 0, n_pad - gw)
+    ok = jnp.all(g_hi <= base + gw)
     return base, ok
 
 
+def compact_live_table(tiles: jnp.ndarray, starts: jnp.ndarray,
+                       offsets: jnp.ndarray, rect_min: jnp.ndarray,
+                       rect_max: jnp.ndarray, depth_q: jnp.ndarray,
+                       capacity: int
+                       ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Live-compacted expansion table -> (tbl [F_TBL, n_pad], g_base, ok).
+
+    Dead gaussians (culled / time-gated / capacity padding) form long
+    empty-span runs that blow the window span past GW (a train scene is
+    ~50% dead and ALWAYS fell back to the XLA expansion, ~6-7 ms/it).
+    Reordering the table columns live-first bounds every BLK-slot block's
+    span by BLK+1 non-empty gaussians, so the GW_COMPACT=384 window covers
+    by construction (ok stays as a belt-and-suspenders flag; it can only
+    be False above the 2^24 f32-exactness gate, which callers check).
+
+    The permutation comes from a single-operand u32 sort (dead-flag high
+    bit | index; ~4 ms at 1M — measured far cheaper than any scatter form,
+    exp/lab_compact.py) followed by ONE row gather of the row-major table.
+    Outputs are bitwise identical to the uncompacted expansion: each slot
+    still matches exactly one live span carrying identical values
+    (including the original gaussian index in the _R_GID row)."""
+    n = starts.shape[0]
+    live = tiles > 0
+    key = (jnp.where(live, jnp.uint32(0), jnp.uint32(1)) << 31
+           | jnp.arange(n, dtype=jnp.uint32))
+    (ks,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
+    orig = (ks & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+
+    rw = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
+    rows_rm = jnp.stack([
+        starts, offsets, rect_min[:, 0], rect_min[:, 1], rw,
+        depth_q.astype(jnp.int32) >> 14,
+        depth_q.astype(jnp.int32) & 0x3FFF,
+        jnp.arange(n, dtype=jnp.int32)], axis=-1).astype(jnp.float32)
+    orig = jax.lax.optimization_barrier(orig)
+    rows_rm = jax.lax.optimization_barrier(
+        jax.lax.optimization_barrier(rows_rm)[orig])        # [N, F_TBL]
+
+    # dead columns land in the tail carrying their ORIGINAL (interleaved)
+    # start/offset values — rewrite both to total so the compacted
+    # start/offset rows stay sorted for searchsorted (their spans were
+    # already empty, so matching semantics are unchanged)
+    total = offsets[-1].astype(jnp.float32)
+    n_live = jnp.sum(live.astype(jnp.int32))
+    is_pad = jnp.arange(n, dtype=jnp.int32) >= n_live      # [N]
+    tbl_rm = jnp.where(
+        (jax.lax.broadcasted_iota(jnp.int32, (n, F_TBL), 1) < 2)
+        & is_pad[:, None], total, rows_rm)
+    tbl = tbl_rm.T                                          # [F_TBL, N]
+
+    n_pad = _n_pad(n, GW_COMPACT)
+    pad = jnp.zeros((F_TBL, n_pad - n), jnp.float32)
+    pad = pad.at[_R_EXCL].set(total).at[_R_INCL].set(total)
+    tbl = jnp.concatenate([tbl, pad], axis=1)
+
+    starts_c = tbl_rm[:, _R_EXCL].astype(jnp.int32)
+    offsets_c = tbl_rm[:, _R_INCL].astype(jnp.int32)
+    g_base, ok = window_starts(offsets_c, starts_c, capacity,
+                               gw=GW_COMPACT)
+    return tbl, g_base, ok
+
+
 def expand_pallas(tbl: jnp.ndarray, g_base: jnp.ndarray, capacity: int,
-                  grid_x: int, d_bits: int,
-                  num_tiles: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+                  grid_x: int, d_bits: int, num_tiles: int,
+                  gw: int = GW) -> tuple[jnp.ndarray, jnp.ndarray]:
     """-> (key [capacity] u32, gid [capacity] i32) in presort order."""
     assert capacity % BLK == 0
     nblocks = capacity // BLK
     kernel = functools.partial(_expand_kernel, grid_x=grid_x, d_bits=d_bits,
-                               num_tiles=num_tiles, nblocks=nblocks)
+                               num_tiles=num_tiles, nblocks=nblocks, gw=gw)
     key, gid = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -177,7 +257,7 @@ def expand_pallas(tbl: jnp.ndarray, g_base: jnp.ndarray, capacity: int,
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, F_TBL, GW), jnp.float32),
+                pltpu.VMEM((2, F_TBL, gw), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),

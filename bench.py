@@ -338,7 +338,7 @@ def main():
 
         wok = bin_step(params).window_ok
         print(f"# pallas expansion window_ok={bool(wok)} "
-              f"(False = XLA-expansion fallback, ~6-7 ms/it slower)",
+              f"(False = live-compacted expansion, ~4-5 ms/it slower)",
               file=sys.stderr)
     else:
         def loss_fn(p):

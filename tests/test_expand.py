@@ -57,9 +57,10 @@ class TestExpandParity:
         assert bool(bx.overflow)
         _assert_binning_equal(bx, bp)
 
-    def test_fallback_on_uncoverable_window(self, rng):
+    def test_compact_on_uncoverable_window(self, rng):
         # 97% of gaussians culled: BLK-slot blocks span >GW table columns,
-        # so the auto path must lax.cond into the XLA expansion
+        # so the auto path must take the live-compacted expansion (whose
+        # GW_COMPACT window covers by construction) and match XLA bitwise
         cam = fx.make_camera(width=96, height=80)
         st = fx.settings_from_camera(cam)
         g = fx.make_gaussians(rng, n=4000)
@@ -71,6 +72,12 @@ class TestExpandParity:
         starts = offsets - prep.tiles_touched
         _, ok = expand_lib.window_starts(offsets, starts, 1 << 13)
         assert not bool(ok)
+        # the compacted window must cover by construction
+        dq = binning_lib.quantize_depth(prep.depth, st.num_tiles)
+        _, _, ok_c = expand_lib.compact_live_table(
+            prep.tiles_touched, starts, offsets, prep.rect_min,
+            prep.rect_max, dq, 1 << 13)
+        assert bool(ok_c)
         bx = binning_lib.bin_gaussians(prep, st, capacity=1 << 13,
                                        expander="xla")
         ba = binning_lib.bin_gaussians(prep, st, capacity=1 << 13,
