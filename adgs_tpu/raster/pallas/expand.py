@@ -41,6 +41,15 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _limb3(x, axis):
+    from .render import _limb3 as f
+    return f(x, axis)
+
+
+import os as _os  # noqa: E402
+LIMB = int(_os.environ.get("ADGS_LIMB", "1"))
+
+
 BLK = 256        # instance slots per program
 GW = 512         # gaussian window columns; the membership compare costs
 #                  capacity x GW element ops, so the window stays as small
@@ -93,11 +102,21 @@ def _expand_kernel(g_base, tbl_hbm, key_ref, gid_ref, buf, sem, *,
     excl = tbl[_R_EXCL:_R_EXCL + 1, :]                     # [1, GW]
     incl = tbl[_R_INCL:_R_INCL + 1, :]
     member = ((pos_sub >= excl) & (pos_sub < incl)).astype(jnp.float32)
-    # val[f, s] = sum_g tbl[f, g] * member[s, g] — gather-as-matmul
-    val = jax.lax.dot_general(
-        tbl, member, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)                # [F_TBL, BLK]
+    # val[f, s] = sum_g tbl[f, g] * member[s, g] — gather-as-matmul.
+    # Exact cheap precision: member is 0/1 and the table rows are ints
+    # < 2^24, whose three bf16 limbs are disjoint 8-bit mantissa windows
+    # — 3 DEFAULT passes reproduce HIGHEST bitwise (render.py LIMB note).
+    if LIMB:
+        v = jax.lax.dot_general(
+            _limb3(tbl, 0), member,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # [3*F_TBL, BLK]
+        val = v[:F_TBL] + v[F_TBL:2 * F_TBL] + v[2 * F_TBL:]
+    else:
+        val = jax.lax.dot_general(
+            tbl, member, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)            # [F_TBL, BLK]
 
     pos = (jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
            + c * BLK).astype(jnp.float32)                  # [1, BLK]

@@ -193,13 +193,25 @@ def _powers(coef_op, coef_p, basis):
     The two coefficient sets share the basis operand; batching them as one
     [8, 2*CHUNK] x [8, P] dot halves MXU op issues per chunk. Each output
     element is the same independent 8-term dot product, so the results are
-    BITWISE identical to two separate matmuls."""
+    BITWISE identical to two separate matmuls.
+
+    The basis rows are small integers (u, v < 16; u*v, u^2 < 256) —
+    EXACTLY bf16 — so with LIMB the coefficient operand limb-splits into
+    one 3x-wide DEFAULT-precision dot (3 MXU passes vs HIGHEST's 6)."""
     n = coef_op.shape[1]
-    both = jax.lax.dot_general(
-        jnp.concatenate([coef_op, coef_p], axis=1), basis,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=MM_PREC)                                 # [2*CHUNK, P]
+    coefs = jnp.concatenate([coef_op, coef_p], axis=1)     # [8, 2n]
+    if LIMB:
+        both = jax.lax.dot_general(
+            _limb3(coefs, 1), basis,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # [6n, P]
+        both = _limb_sum(both, 0, 2 * n)
+    else:
+        both = jax.lax.dot_general(
+            coefs, basis,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=MM_PREC)                             # [2n, P]
     return both[:n], both[n:]
 
 
@@ -245,6 +257,38 @@ def _tri_incl(n: int) -> jnp.ndarray:
     return (i >= j).astype(jnp.float32)
 
 
+def _limb3(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Concat of three exactly-bf16 limbs of x (hi + mid + lo == x to
+    ~2^-25 relative; EXACT for integers < 2^24 — the limbs are disjoint
+    8-bit mantissa windows). A dot against an exactly-bf16 other operand
+    at DEFAULT precision then reproduces the f32 product in 3 single
+    passes where HIGHEST costs 6."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    rem = x - hi
+    mid = rem.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = rem - mid
+    return jnp.concatenate([hi, mid, lo], axis=axis)
+
+
+def _limb_sum(y: jnp.ndarray, axis: int, n: int) -> jnp.ndarray:
+    """Fold the 3 limb slices of a dot output back together."""
+    sl = [slice(None)] * y.ndim
+
+    def take(i):
+        sl[axis] = slice(i * n, (i + 1) * n)
+        return y[tuple(sl)]
+
+    return take(0) + take(1) + take(2)
+
+
+# limb-split cheap precision for kernel dots with one EXACTLY-bf16 operand
+# (the integer pixel basis, the 0/1 one-hot membership, the 0/1 prefix
+# triangle): 3 single-pass DEFAULT matmuls instead of HIGHEST's 6 passes,
+# at equal-or-better accuracy. MEASURED (exp/lab_limb.py, ABAB): 13.53 vs
+# 12.70 it/s (+6.6%) with BITWISE-identical loss and gradients.
+LIMB = int(_os.environ.get("ADGS_LIMB", "1"))
+
+
 def _mxu_prefix(tri: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """prefix[i, p] = sum_{j in tri row i} x[j, p] as ONE wide MXU matmul.
 
@@ -252,15 +296,10 @@ def _mxu_prefix(tri: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     (one [n, n] x [n, 3P] dot — same merged-operand trick as _powers);
     tri is 0/1 (exact in bf16), so DEFAULT precision loses nothing."""
     n, p = x.shape
-    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
-    rem = x - hi
-    mid = rem.astype(jnp.bfloat16).astype(jnp.float32)
-    lo = rem - mid
-    limbs = jnp.concatenate([hi, mid, lo], axis=1)          # [n, 3P]
     out = jax.lax.dot_general(
-        tri, limbs, dimension_numbers=(((1,), (0,)), ((), ())),
+        tri, _limb3(x, 1), dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                 # [n, 3P]
-    return out[:, :p] + out[:, p:2 * p] + out[:, 2 * p:]
+    return _limb_sum(out, 1, p)
 
 
 def _scan_sub(x: jnp.ndarray, combine, identity: float) -> jnp.ndarray:
@@ -499,10 +538,18 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
 
         # ALL geometry gradients from one moment matmul:
         # MT[k, j] = sum_pix basis_k * d_powerop[j]  -> [8, CHUNK]
-        MT = jax.lax.dot_general(
-            basis, d_powerop, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=MM_PREC)
+        if LIMB:
+            MT = jax.lax.dot_general(
+                basis, _limb3(d_powerop, 0),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # [8, 3*CHUNK]
+            MT = _limb_sum(MT, 1, d_powerop.shape[0])
+        else:
+            MT = jax.lax.dot_general(
+                basis, d_powerop,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=MM_PREC)
         d_c0 = MT[0:1, :]
         d_c1 = MT[1:2, :]
         d_c2 = MT[2:3, :]
@@ -632,6 +679,13 @@ def _segreduce_kernel(bounds, gm_hbm, start_ref, end_ref, out_ref,
         chunk = buf[c % 2]                       # [g_cols, SEG_C]
         pos = pos0 + (start_al + c * SEG_C)      # [SEG_C, 1]
         member = ((pos >= g_start) & (pos < g_end)).astype(jnp.float32)
+        if LIMB:
+            # member is 0/1 (exact bf16): limb-split the grad rows
+            d = jax.lax.dot_general(
+                _limb3(chunk, 0), member,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [3*g_cols, SEG_BLK]
+            return accum + _limb_sum(d, 0, g_cols)
         return accum + jax.lax.dot_general(
             chunk, member,
             dimension_numbers=(((1,), (0,)), ((), ())),
