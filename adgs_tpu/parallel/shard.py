@@ -167,20 +167,26 @@ def _exchange_primitives(payload, dev_lo, dev_hi, D: int, axis: str,
     overflow flag). Comm volume is ~(mean slabs touched) x n_loc rows
     instead of the all-gather's (D-1) x n_loc.
 
-    Bucket packing is ONE cumsum + scatter-set (per-destination argsorts
-    would compile as D full sorts — XLA TPU sorts cost 20-75s each to
-    compile, CLAUDE.md). Rows sent to several slabs are scattered from a
-    repeat, whose transpose SUMS the cotangents — grads stay exact."""
+    Bucket packing is ONE cumsum + per-destination scatter-sets
+    (per-destination argsorts would compile as D full sorts — XLA TPU
+    sorts cost 20-75s each to compile, CLAUDE.md). Rows sent to several
+    slabs are scattered once per destination directly from the payload
+    (no [n*D, F] repeat intermediate); the scatters' transpose SUMS the
+    per-destination cotangents — grads stay exact."""
     n, F = payload.shape
     e_rng = jnp.arange(D, dtype=jnp.int32)
     m = (dev_lo[:, None] <= e_rng) & (e_rng <= dev_hi[:, None])  # [n, D]
     pos = jnp.cumsum(m.astype(jnp.int32), axis=0) - 1   # slot within bucket
     counts = 1 + pos[-1]                                # [D]
     dest = jnp.where(m & (pos < cap_pair),
-                     e_rng * cap_pair + pos, D * cap_pair)
-    send = (jnp.zeros((D * cap_pair + 1, F), payload.dtype)
-            .at[dest.reshape(-1)]
-            .set(jnp.repeat(payload, D, axis=0)))[:D * cap_pair]
+                     e_rng * cap_pair + pos, D * cap_pair)       # [n, D]
+    send = jnp.zeros((D * cap_pair + 1, F), payload.dtype)
+    for e in range(D):
+        # bucket regions are disjoint across e; non-members share the
+        # sink row (sliced off below), so indices are neither sorted nor
+        # unique as far as XLA is concerned
+        send = send.at[dest[:, e]].set(payload)
+    send = send[:D * cap_pair]
     valid = (jnp.arange(cap_pair) < counts[:, None]).reshape(-1)
     overflow = jnp.max(counts) > cap_pair
     recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0,
