@@ -288,6 +288,39 @@ def _limb_sum(y: jnp.ndarray, axis: int, n: int) -> jnp.ndarray:
 # 12.70 it/s (+6.6%) with BITWISE-identical loss and gradients.
 LIMB = int(_os.environ.get("ADGS_LIMB", "1"))
 
+# manual bf16x3 for the float-x-float kernel dots (fg, feature accum,
+# d_feat): hi/lo split of BOTH operands, lo-x-lo dropped — the same
+# 3-pass scheme as XLA's Precision.HIGH (~2^-21 relative), which Mosaic
+# rejects inside compiled kernels; HIGHEST costs 6 passes. Env-gated for
+# A/B (exp/lab_limb.py float3 arms).
+FLOAT3 = int(_os.environ.get("ADGS_FLOAT3", "0"))
+
+
+def _dot_f3(a: jnp.ndarray, b: jnp.ndarray, dims) -> jnp.ndarray:
+    """bf16x3 dot_general: a_hi.b_hi + a_hi.b_lo + a_lo.b_hi, each a
+    single DEFAULT-precision pass (operands exactly bf16). The two
+    a_hi products share their operand and batch into one double-width
+    dot along b's free axis (2 MXU issues total)."""
+    if not FLOAT3:
+        return jax.lax.dot_general(a, b, dimension_numbers=dims,
+                                   preferred_element_type=jnp.float32,
+                                   precision=MM_PREC)
+    ((ac,), (bc,)), _ = dims
+    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    a_lo = a - a_hi
+    b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+    b_lo = b - b_hi
+    # b's free axis (it has exactly one: these are 2-D dots)
+    bf = 1 - bc
+    p = b.shape[bf]
+    bb = jnp.concatenate([b_hi, b_lo], axis=bf)
+    hi_both = jax.lax.dot_general(a_hi, bb, dimension_numbers=dims,
+                                  preferred_element_type=jnp.float32)
+    lo_hi = jax.lax.dot_general(a_lo, b_hi, dimension_numbers=dims,
+                                preferred_element_type=jnp.float32)
+    # output layout: (a free axis, b free axis) — b's free axis is last
+    return hi_both[:, :p] + hi_both[:, p:] + lo_hi
+
 
 def _mxu_prefix(tri: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """prefix[i, p] = sum_{j in tri row i} x[j, p] as ONE wide MXU matmul.
@@ -435,10 +468,8 @@ def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref,
         alpha = _alpha_from_powers(powerop, power, valid)
         w, t_raw, t_eff, _ = _chunk_weights(alpha, t_raw, t_eff)
         feats = geom[F_GEOM:F_GEOM + ch, :]                # [CHo, CHUNK]
-        accum = accum + jax.lax.dot_general(
-            feats, w, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=MM_PREC)            # [CHo, P]
+        accum = accum + _dot_f3(
+            feats, w, (((1,), (0,)), ((), ())))            # [CHo, P]
         return c + 1, t_raw, t_eff, accum
 
     init = (jnp.int32(0),
@@ -516,10 +547,7 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
 
         feats = geom[F_GEOM:F_GEOM + ch, :]                # [CHo, CHUNK]
         # fg[j, pix] = f_j . g  -> [CHUNK, P]
-        fg = jax.lax.dot_general(
-            feats, g[:ch, :], dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=MM_PREC)
+        fg = _dot_f3(feats, g[:ch, :], (((0,), (0,)), ((), ())))
         b = w * fg
         if SCAN == "mxu":
             prefix_incl = _mxu_prefix(_tri_incl(b.shape[0]), b) + prefix
@@ -566,10 +594,7 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
         d_cb = -d_c1 + my * d_c3 + mx * d_c4 - mx * my * d_c5
         d_cc = -0.5 * d_c2 + my * d_c4 - 0.5 * my * my * d_c5
         # dL/df_j = sum_pix w * g_ch  -> [CHo, CHUNK]
-        d_feat = jax.lax.dot_general(
-            g[:ch, :], w, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=MM_PREC)
+        d_feat = _dot_f3(g[:ch, :], w, (((1,), (1,)), ((), ())))
 
         grows = jnp.concatenate(
             [d_mx, d_my, d_ca, d_cb, d_cc, d_lo, d_feat], axis=0)

@@ -36,6 +36,7 @@ from adgs_tpu.raster.pallas import expand as expand_lib
 N_GAUSS = int(os.environ.get("BENCH_N_GAUSS", 1_000_000))
 WIDTH, HEIGHT = 1242, 375
 ITERS = int(os.environ.get("BENCH_ITERS", 20))
+# arm token "L" or "L:F" — LIMB flag, optional FLOAT3 flag
 ARMS = os.environ.get("LAB_LIMB", "0,1,0,1,0,1").split(",")
 
 rng = np.random.default_rng(0)
@@ -100,8 +101,10 @@ ref_loss = None
 ref_g0 = None
 for s in ARMS:
     if s not in steps:
-        # LIMB binds at TRACE time in both modules
-        pal.LIMB = expand_lib.LIMB = int(s)
+        # LIMB/FLOAT3 bind at TRACE time in both modules
+        parts = s.split(":")
+        pal.LIMB = expand_lib.LIMB = int(parts[0])
+        pal.FLOAT3 = int(parts[1]) if len(parts) > 1 else 0
         steps[s] = (make_bin_step(), make_grad_step())
         t0 = time.perf_counter()
         b0 = steps[s][0](params)
