@@ -85,6 +85,50 @@ class TestExpandParity:
         _assert_binning_equal(bx, ba)
         assert int(bx.num_rendered) > 0
 
+    def test_compact_all_dead(self, rng):
+        # every gaussian culled: the compacted table is pure padding and
+        # binning must produce an empty (but well-formed) result
+        cam = fx.make_camera(width=96, height=80)
+        st = fx.settings_from_camera(cam)
+        g = fx.make_gaussians(rng, n=512)
+        m = np.array(g["means3d"], copy=True)
+        m[:, 2] = -5.0
+        prep = prep_lib.preprocess(jnp.asarray(m), g["scales"],
+                                   g["rotations"], g["opacities"], None, st)
+        offsets = binning_lib.cumsum_mxu(prep.tiles_touched)
+        starts = offsets - prep.tiles_touched
+        dq = binning_lib.quantize_depth(prep.depth, st.num_tiles)
+        _, _, ok_c = expand_lib.compact_live_table(
+            prep.tiles_touched, starts, offsets, prep.rect_min,
+            prep.rect_max, dq, 1 << 13)
+        assert bool(ok_c)
+        bx = binning_lib.bin_gaussians(prep, st, capacity=1 << 13,
+                                       expander="xla")
+        ba = binning_lib.bin_gaussians(prep, st, capacity=1 << 13,
+                                       expander="auto")
+        _assert_binning_equal(bx, ba)
+        assert int(bx.num_rendered) == 0
+
+    def test_compact_with_overflow(self, rng):
+        # heavy culling AND capacity below num_rendered: the compacted
+        # windowed expansion must truncate the same presort slots as XLA
+        cam = fx.make_camera(width=96, height=80)
+        st = fx.settings_from_camera(cam)
+        g = fx.make_gaussians(rng, n=4000)
+        m = np.array(g["means3d"], copy=True)
+        m[np.asarray(rng.random(4000) < 0.9), 2] = -5.0
+        prep = prep_lib.preprocess(jnp.asarray(m), g["scales"],
+                                   g["rotations"], g["opacities"], None, st)
+        offsets = binning_lib.cumsum_mxu(prep.tiles_touched)
+        starts = offsets - prep.tiles_touched
+        _, ok = expand_lib.window_starts(offsets, starts, 512)
+        bx = binning_lib.bin_gaussians(prep, st, capacity=512,
+                                       expander="xla")
+        ba = binning_lib.bin_gaussians(prep, st, capacity=512,
+                                       expander="auto")
+        assert bool(bx.overflow)
+        _assert_binning_equal(bx, ba)
+
     def test_unaligned_capacity_uses_xla(self, rng):
         # capacity not a multiple of the kernel block (BLK=256) falls back
         # statically — 640 = 2.5 * BLK keeps exercising that branch if BLK
