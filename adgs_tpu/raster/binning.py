@@ -49,8 +49,10 @@ def cumsum_mxu(x: jnp.ndarray) -> jnp.ndarray:
     XLA's native cumsum over a multi-million-element axis costs ~5ms on
     TPU (log-pass scan lowering); one [L/B, B] x [B, B] upper-triangular
     ones matmul plus a tiny carry cumsum runs at MXU speed (~0.3ms at 2M).
-    f32 accumulation is EXACT for values < 2^24 — callers' sums are
-    instance counts bounded by the instance capacity (<16.7M)."""
+    f32 accumulation is EXACT for sums < 2^23 (the bf16 hi-limb partial
+    sums can overshoot the true total ~2^-9 relative, so keep a margin
+    below f32's 2^24 exact-integer ceiling) — callers' sums are instance
+    counts bounded by the pallas-expansion gate (<2^23 = 8.4M)."""
     L = x.shape[0]
     B = _CUMSUM_BLK
     if L < 4 * B:
@@ -61,10 +63,18 @@ def cumsum_mxu(x: jnp.ndarray) -> jnp.ndarray:
         xf = jnp.concatenate([xf, jnp.zeros((pad,), jnp.float32)])
     xb = xf.reshape(-1, B)
     tri = jnp.triu(jnp.ones((B, B), jnp.float32))   # tri[k, j] = 1, k <= j
-    local = jax.lax.dot_general(
-        xb, tri, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)          # inclusive per block
+    # limb-split cheap precision (render.py LIMB note): tri is 0/1 and the
+    # counts are ints < 2^24 whose three bf16 limbs are disjoint mantissa
+    # windows — 3 DEFAULT passes reproduce HIGHEST bitwise at half the cost
+    hi = xb.astype(jnp.bfloat16).astype(jnp.float32)
+    rem = xb - hi
+    mid = rem.astype(jnp.bfloat16).astype(jnp.float32)
+    limbs = jnp.concatenate([hi, mid, rem - mid], axis=0)
+    loc3 = jax.lax.dot_general(
+        limbs, tri, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # inclusive per block
+    nb = xb.shape[0]
+    local = loc3[:nb] + loc3[nb:2 * nb] + loc3[2 * nb:]
     row_tot = local[:, -1]
     carry = jnp.cumsum(row_tot) - row_tot            # [L/B] — tiny
     out = (local + carry[:, None]).reshape(-1)[:L]
@@ -200,8 +210,10 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings,
                                      prep.rect_max, depth_q)
         g_base, windows_ok = expand_lib.window_starts(offsets, starts,
                                                       capacity)
-        # the f32 table is exact only below 2^24 (counts, ids)
-        fits_f32 = (num_rendered < (1 << 24)) & (N < (1 << 24))
+        # the f32 table is exact only below 2^24 (counts, ids); gate at
+        # 2^23 for margin — bf16 hi-limb partial sums in the limb-split
+        # dots can transiently overshoot the true total by ~2^-9 relative
+        fits_f32 = (num_rendered < (1 << 23)) & (N < (1 << 23))
         windows_ok &= fits_f32
 
         def _expand_pallas():
