@@ -42,6 +42,44 @@ def num_sh_coeffs(degree: int) -> int:
     return (degree + 1) ** 2
 
 
+def sh_basis(deg: int, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Real SH basis values (coefficients folded in), [..., (deg+1)**2].
+
+    Basis functions and constants match the CUDA preprocess tables
+    (cuda_rasterizer/auxiliary.h:22-39, forward.cu:20-71).
+    """
+    if not (0 <= deg <= 3):
+        raise ValueError(f"SH degree must be in [0, 3], got {deg}")
+    ones = jnp.ones_like(dirs[..., 0:1])
+    cols = [SH_C0 * ones]
+    if deg > 0:
+        x = dirs[..., 0:1]
+        y = dirs[..., 1:2]
+        z = dirs[..., 2:3]
+        cols += [-SH_C1 * y, SH_C1 * z, -SH_C1 * x]
+        if deg > 1:
+            xx, yy, zz = x * x, y * y, z * z
+            xy, yz, xz = x * y, y * z, x * z
+            cols += [
+                SH_C2[0] * xy,
+                SH_C2[1] * yz,
+                SH_C2[2] * (2.0 * zz - xx - yy),
+                SH_C2[3] * xz,
+                SH_C2[4] * (xx - yy),
+            ]
+            if deg > 2:
+                cols += [
+                    SH_C3[0] * y * (3.0 * xx - yy),
+                    SH_C3[1] * xy * z,
+                    SH_C3[2] * y * (4.0 * zz - xx - yy),
+                    SH_C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+                    SH_C3[4] * x * (4.0 * zz - xx - yy),
+                    SH_C3[5] * z * (xx - yy),
+                    SH_C3[6] * x * (xx - 3.0 * yy),
+                ]
+    return jnp.concatenate(cols, axis=-1)
+
+
 def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     """Evaluate real SH basis contraction.
 
@@ -53,43 +91,17 @@ def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
 
     Returns:
       [..., C] evaluated values (no +0.5 offset, no clamp).
+
+    Implemented as basis-stack + one broadcast contraction (NOT a chain of
+    16 per-coefficient adds): the chained form's autodiff accumulates d_sh
+    as 16 pad-adds of [..., 1, C] slices, which XLA materializes as 16
+    sublane-padded [N, 16, 3] temps (~488 MB each at N=1M) when layout
+    propagation denies it the fusion — a compile-time OOM. Here d_sh is a
+    single basis[..., :, None] * g[..., None, :] broadcast product.
     """
-    if not (0 <= deg <= 3):
-        raise ValueError(f"SH degree must be in [0, 3], got {deg}")
-    result = SH_C0 * sh[..., 0, :]
-    if deg > 0:
-        x = dirs[..., 0:1]
-        y = dirs[..., 1:2]
-        z = dirs[..., 2:3]
-        result = (
-            result
-            - SH_C1 * y * sh[..., 1, :]
-            + SH_C1 * z * sh[..., 2, :]
-            - SH_C1 * x * sh[..., 3, :]
-        )
-        if deg > 1:
-            xx, yy, zz = x * x, y * y, z * z
-            xy, yz, xz = x * y, y * z, x * z
-            result = (
-                result
-                + SH_C2[0] * xy * sh[..., 4, :]
-                + SH_C2[1] * yz * sh[..., 5, :]
-                + SH_C2[2] * (2.0 * zz - xx - yy) * sh[..., 6, :]
-                + SH_C2[3] * xz * sh[..., 7, :]
-                + SH_C2[4] * (xx - yy) * sh[..., 8, :]
-            )
-            if deg > 2:
-                result = (
-                    result
-                    + SH_C3[0] * y * (3.0 * xx - yy) * sh[..., 9, :]
-                    + SH_C3[1] * xy * z * sh[..., 10, :]
-                    + SH_C3[2] * y * (4.0 * zz - xx - yy) * sh[..., 11, :]
-                    + SH_C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy) * sh[..., 12, :]
-                    + SH_C3[4] * x * (4.0 * zz - xx - yy) * sh[..., 13, :]
-                    + SH_C3[5] * z * (xx - yy) * sh[..., 14, :]
-                    + SH_C3[6] * x * (xx - 3.0 * yy) * sh[..., 15, :]
-                )
-    return result
+    k = num_sh_coeffs(deg)
+    basis = sh_basis(deg, dirs)
+    return jnp.sum(basis[..., :, None] * sh[..., :k, :], axis=-2)
 
 
 def eval_sh_color(deg: int, sh: jnp.ndarray, means: jnp.ndarray,
