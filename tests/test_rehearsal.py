@@ -105,27 +105,39 @@ def make_raw_kitti(root, rng):
 
 def write_pseudo_labels(dst, rng):
     """The external-net outputs (DPT depth, SAM masks, flow) the reference
-    produces in separate conda envs — synthesized here."""
+    produces in separate conda envs — synthesized here through the
+    model-agnostic packagers (geometry/pseudo_labels.py): raw point tracks
+    -> flow packages, mask/depth dicts -> reference file layout. The scene
+    is static, so ground-truth tracks are identity with vis=1 — the flow
+    loss is ACTIVE (non-degenerate targets) during training below."""
+    from adgs_tpu.geometry import pseudo_labels as pk
+
     n_imgs = 2 * N_FRAMES
-    for d in ["depth", "semantic", "sky", "flow/nvs-75"]:
-        os.makedirs(os.path.join(dst, d), exist_ok=True)
     sem = np.zeros((H, W), np.int32)
     sem[H // 3: H // 2, W // 3: W // 2] = 1   # a static object region
     sky = np.zeros((H, W), np.uint8)
     sky[: H // 8] = 1
-    K = _K()
+    depths, sems, skies = {}, {}, {}
     for i in range(n_imgs):
         name = f"{i:06d}"
-        np.save(os.path.join(dst, "depth", name + ".npy"),
-                np.full((H, W, 1), 1.0 / PLANE_Z, np.float32))
-        np.save(os.path.join(dst, "semantic", "mask_" + name + ".npy"), sem)
-        np.save(os.path.join(dst, "sky", "mask_" + name + ".npy"), sky)
-        pkg = [np.float64(i // 2), K, np.eye(3),
-               np.array([0.0, 0.0, 0.0]),
-               rng.uniform(0, W - 1, (2, H, W)),
-               np.zeros((H, W), np.float32)]   # vis=0: flow inactive
-        np.savez(os.path.join(dst, "flow", "nvs-75", name + ".npz"),
-                 flow=np.asarray([pkg], dtype=object))
+        depths[name] = np.full((H, W), 1.0 / PLANE_Z, np.float32)
+        sems[name] = sem
+        skies[name] = sky
+    pk.import_depth_maps(dst, depths, normalize=False)
+    pk.import_semantic_masks(dst, sems)
+    pk.import_semantic_masks(dst, skies, kind="sky")
+
+    # raw tracks at every dynamic-mask pixel (flow.py:436-438 semantics);
+    # static ego + static plane => the tracked target IS the query pixel
+    q = pk.queries_from_mask(sem.astype(np.float32))
+    tracks = {
+        g: dict(query=q, fwd=q, fwd_vis=np.ones(len(q), np.float32),
+                bwd=q, bwd_vis=np.ones(len(q), np.float32))
+        for g in range(n_imgs)
+    }
+    written = pk.package_scene_flow(dst, tracks=tracks, slide_window=1,
+                                    split_mode="nvs-75")
+    assert written, "packager produced no flow packages"
 
 
 def run_script(script, args):
@@ -180,7 +192,7 @@ def test_full_pipeline_rehearsal(tmp_path):
         densify_until_iter=1000,
         densify_scene_grad_threshold=1e-8,   # clone aggressively
         densify_obj_grad_threshold=1e-8,
-        opacity_reset_interval=10_000, lambda_flow=0.0, lambda_reg=0.0,
+        opacity_reset_interval=10_000, lambda_flow=0.01, lambda_reg=0.0,
         lambda_sigma_reg=0.0,
         # boosted LRs: the smoke run must visibly converge in ~100
         # iterations, not the reference's 30k
