@@ -281,6 +281,79 @@ def _limb_sum(y: jnp.ndarray, axis: int, n: int) -> jnp.ndarray:
     return take(0) + take(1) + take(2)
 
 
+# Row-major instance pipeline: instance rows live as [R, 128] ROW-major
+# (instances on sublanes, the 16 real feature columns lane-padded to 128)
+# instead of component-major [F, R]. Rationale (PERF.md gather-wall data):
+# a [R, 128] row gather rides the ~240 GB/s DMA fast path while the narrow
+# [R, 16] fused-transpose form crawls at the ~150M rows/s row-issue wall —
+# and the SAME trick applies to the backward's grad permute, whose rows the
+# bwd kernel then emits row-major directly. The kernels transpose each
+# [CHUNK, 128] block once in VMEM (one Mosaic transpose per chunk) so all
+# compositing math keeps the measured [*, CHUNK]/[CHUNK, P] layouts.
+RM = int(_os.environ.get("ADGS_RM", "0"))
+# Hybrid default (exp/lab_rm.py, exp/lab_prscatter.py): full-RM instances
+# LOSE end-to-end (+3.8ms/step: the kernels' 8x wider DMA reads outweigh
+# the permute win), but emitting only the BACKWARD grad rows row-major
+# wins on the permute side; RM_GRAD/PR_SCATTER control that hybrid.
+RM_GRAD = int(_os.environ.get("ADGS_RM_GRAD", "0"))
+PR_SCATTER = int(_os.environ.get("ADGS_PR_SCATTER", "0"))
+LANES = 128
+
+
+_PAD_BLK = 1024
+
+
+def _pad_lanes_kernel(src_ref, out_ref, *, F: int):
+    out_ref[...] = jnp.concatenate(
+        [src_ref[...].T, jnp.zeros((src_ref.shape[1], LANES - F),
+                                   jnp.float32)], axis=1)
+
+
+def pad_to_lanes(packed_t: jnp.ndarray) -> jnp.ndarray:
+    """[F, N] component-major -> [N_pad, LANES] row-major lane pad as a
+    transposing Pallas kernel (rows padded up to _PAD_BLK; callers' gather
+    indices stay < N).
+
+    Why a kernel, and why the TRANSPOSED input: (a) it is the cheapest
+    form — one 64 MB read + 512 MB write ≈ 0.75 ms (an XLA multi-piece
+    concat costs ~10 ms of per-piece lane-offset passes, exp/lab_build.py);
+    (b) Pallas REQUIRES default layouts on its operands, which firewalls
+    XLA's layout assignment — but a default-{1,0} demand on an [N, 16]
+    operand means 16 lanes padded to 128, and XLA propagates that demand
+    up through the pack concat into the preprocess math, materializing
+    every [1M, 3] jvp temp at 42.7x padding (488 MB each — compile OOM;
+    exp/lab_rm.log). The [F, N] form's default layout puts N on the lanes
+    (zero padding), which is exactly the layout the preprocess naturally
+    produces for its [N, small] arrays ({0,1} bitcasts), so the demand is
+    a no-op; the kernel transposes each block once in VMEM."""
+    F, n = packed_t.shape
+    n_pad = -(-n // _PAD_BLK) * _PAD_BLK
+    if n_pad != n:
+        packed_t = jnp.pad(packed_t, ((0, 0), (0, n_pad - n)))
+    return pl.pallas_call(
+        functools.partial(_pad_lanes_kernel, F=F),
+        grid=(n_pad // _PAD_BLK,),
+        in_specs=[pl.BlockSpec((F, _PAD_BLK), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((_PAD_BLK, LANES), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_pad, LANES), jnp.float32),
+        interpret=_interpret(),
+    )(packed_t)
+
+
+def build_instances_rm(gauss_id, packed, F: int):
+    """[R + CHUNK, LANES] ROW-major sorted instance rows: lane-pad (MXU)
+    + one wide row gather on the 128-lane DMA fast path. The trailing
+    CHUNK pad rows duplicate Gaussian 0 (harmless — gated) and keep the
+    last window-covering DMA in bounds."""
+    R = gauss_id.shape[0]
+    assert R % CHUNK == 0, f"instance capacity must be a multiple of {CHUNK}"
+    gid_ext = jnp.concatenate([gauss_id, jnp.zeros((CHUNK,), jnp.int32)])
+    wide = pad_to_lanes(packed.T)   # .T is a {0,1}<->{1,0} layout bitcast
+    gid_ext = jax.lax.optimization_barrier(gid_ext)
+    wide = jax.lax.optimization_barrier(wide)
+    return jax.lax.optimization_barrier(wide[gid_ext])      # [R_pad, LANES]
+
+
 # limb-split cheap precision for kernel dots with one EXACTLY-bf16 operand
 # (the integer pixel basis, the 0/1 one-hot membership, the 0/1 prefix
 # triangle): 3 single-pass DEFAULT matmuls instead of HIGHEST's 6 passes,
@@ -424,8 +497,24 @@ def _chunk_weights(alpha, t_raw, t_eff):
     return w, cum_raw[-1:, :], new_eff, (a_eff, t_excl, include)
 
 
+def _inst_dma(inst_hbm, buf, sem, start_al, rm: bool):
+    """Chunk DMA factory for both instance layouts: row-major [R_pad, 128]
+    slices sublanes (rows), component-major [F, R_pad] slices lanes."""
+    if rm:
+        def get_dma(slot, c):
+            return pltpu.make_async_copy(
+                inst_hbm.at[pl.ds(start_al + c * CHUNK, CHUNK), :],
+                buf.at[slot], sem.at[slot])
+    else:
+        def get_dma(slot, c):
+            return pltpu.make_async_copy(
+                inst_hbm.at[:, pl.ds(start_al + c * CHUNK, CHUNK)],
+                buf.at[slot], sem.at[slot])
+    return get_dma
+
+
 def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref,
-                buf, sem, *, grid_x: int, ch: int, f_cols: int):
+                buf, sem, *, grid_x: int, ch: int, f_cols: int, rm: bool):
     i = pl.program_id(0)
     start = tile_start[i]
     cnt = tile_count[i]
@@ -439,10 +528,7 @@ def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref,
 
     nchunks = jnp.where(cnt > 0, pl.cdiv(start + cnt - start_al, CHUNK), 0)
 
-    def get_dma(slot, c):
-        return pltpu.make_async_copy(
-            inst_hbm.at[:, pl.ds(start_al + c * CHUNK, CHUNK)],
-            buf.at[slot], sem.at[slot])
+    get_dma = _inst_dma(inst_hbm, buf, sem, start_al, rm)
 
     @pl.when(nchunks > 0)
     def _():
@@ -460,7 +546,9 @@ def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref,
             get_dma((c + 1) % 2, c + 1).start()
 
         get_dma(c % 2, c).wait()
-        geom = buf[c % 2]                                  # [F, CHUNK]
+        # row-major blocks transpose ONCE in VMEM so every downstream op
+        # keeps the measured [*, CHUNK] lane-major layouts
+        geom = buf[c % 2].T if rm else buf[c % 2]          # [F|LANES, CHUNK]
         pos = sub + (start_al + c * CHUNK)                 # [CHUNK, 1]
         valid = (pos >= start) & (pos < start + cnt)
         coef_op, coef_p, _ = _coefs(geom, ox, oy)
@@ -490,7 +578,8 @@ def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref,
 
 def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
                 grad_hbm, buf, gbuf, rbuf, sem, wsem, rsem, *,
-                grid_x: int, ch: int, f_cols: int, g_cols: int):
+                grid_x: int, ch: int, f_cols: int, g_cols: int, rm: bool,
+                rm_out: bool):
     del zgrad_in  # aliased to grad_hbm; zeros provide the init
     i = pl.program_id(0)
     start = tile_start[i]
@@ -514,10 +603,12 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
         c, t_raw, _, _ = state
         return (c < nchunks) & (jnp.max(t_raw) >= T_EPS)
 
-    def get_dma(slot, c):
-        return pltpu.make_async_copy(
-            inst_hbm.at[:, pl.ds(start_al + c * CHUNK, CHUNK)],
-            buf.at[slot], sem.at[slot])
+    get_dma = _inst_dma(inst_hbm, buf, sem, start_al, rm)
+
+    def grad_slice(cc):
+        if rm_out:
+            return grad_hbm.at[pl.ds(start_al + cc * CHUNK, CHUNK), :]
+        return grad_hbm.at[:, pl.ds(start_al + cc * CHUNK, CHUNK)]
 
     @pl.when(nchunks > 0)
     def _():
@@ -525,8 +616,7 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
         # the first output block is SHARED with the previous tile's tail
         # (both round into the same chunk tile); the grid is sequential, so
         # read-add-write keeps the neighbour's columns intact — race-free
-        pltpu.make_async_copy(
-            grad_hbm.at[:, pl.ds(start_al, CHUNK)], rbuf, rsem).start()
+        pltpu.make_async_copy(grad_slice(0), rbuf, rsem).start()
 
     def body(state):
         c, t_raw, t_eff, prefix = state
@@ -536,7 +626,7 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
             get_dma((c + 1) % 2, c + 1).start()
 
         get_dma(c % 2, c).wait()
-        geom = buf[c % 2]                                  # [F, CHUNK]
+        geom = buf[c % 2].T if rm else buf[c % 2]          # [F|LANES, CHUNK]
         pos = sub + (start_al + c * CHUNK)
         valid = (pos >= start) & (pos < start + cnt)
         coef_op, coef_p, (mx, my, ca, cb, cc) = _coefs(geom, ox, oy)
@@ -598,10 +688,19 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
 
         grows = jnp.concatenate(
             [d_mx, d_my, d_ca, d_cb, d_cc, d_lo, d_feat], axis=0)
-        pad_rows = g_cols - grows.shape[0]
-        if pad_rows > 0:
+        if rm_out:
+            # emit ROW-major [CHUNK, LANES] so the downstream permute rides
+            # the 128-lane gather fast path with no boundary transpose
+            growsT = grows.T                               # [CHUNK, cols]
             grows = jnp.concatenate(
-                [grows, jnp.zeros((pad_rows, CHUNK), jnp.float32)], axis=0)
+                [growsT, jnp.zeros((CHUNK, LANES - growsT.shape[1]),
+                                   jnp.float32)], axis=1)
+        else:
+            pad_rows = g_cols - grows.shape[0]
+            if pad_rows > 0:
+                grows = jnp.concatenate(
+                    [grows, jnp.zeros((pad_rows, CHUNK), jnp.float32)],
+                    axis=0)
 
         # double-buffered grad writes: drain the write issued two chunks
         # ago on this slot before overwriting it, then fire-and-forget —
@@ -610,9 +709,7 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
 
         def put_dma(slot, cc):
             return pltpu.make_async_copy(
-                gbuf.at[slot],
-                grad_hbm.at[:, pl.ds(start_al + cc * CHUNK, CHUNK)],
-                wsem.at[slot])
+                gbuf.at[slot], grad_slice(cc), wsem.at[slot])
 
         @pl.when(c >= 2)
         def _():
@@ -625,8 +722,7 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
             # fold in the shared boundary block (see the read DMA above);
             # this tile's gated-out columns carry exact zeros, so the add
             # only restores the neighbour's values
-            pltpu.make_async_copy(
-                grad_hbm.at[:, pl.ds(start_al, CHUNK)], rbuf, rsem).wait()
+            pltpu.make_async_copy(grad_slice(0), rbuf, rsem).wait()
             gbuf[0] = gbuf[0] + rbuf[...]
 
         put_dma(s, c).start()
@@ -647,9 +743,7 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
     # tile's last chunk
     def put_dma_end(cc):
         return pltpu.make_async_copy(
-            gbuf.at[cc % 2],
-            grad_hbm.at[:, pl.ds(start_al + cc * CHUNK, CHUNK)],
-            wsem.at[cc % 2])
+            gbuf.at[cc % 2], grad_slice(cc), wsem.at[cc % 2])
 
     @pl.when(c_end >= 2)
     def _():
@@ -665,7 +759,7 @@ SEG_C = 512      # gaussian-major instance rows per DMA chunk
 
 
 def _segreduce_kernel(bounds, gm_hbm, start_ref, end_ref, out_ref,
-                      buf, sem, *, g_cols: int):
+                      buf, sem, *, g_cols: int, rm: bool):
     """Per-Gaussian reduction over gaussian-major CONTIGUOUS instance
     columns (component-major [Gc, R_seg]).
 
@@ -688,9 +782,9 @@ def _segreduce_kernel(bounds, gm_hbm, start_ref, end_ref, out_ref,
     pos0 = jax.lax.broadcasted_iota(jnp.int32, (SEG_C, 1), 0)
 
     def get_dma(slot, c):
-        return pltpu.make_async_copy(
-            gm_hbm.at[:, pl.ds(start_al + c * SEG_C, SEG_C)],
-            buf.at[slot], sem.at[slot])
+        src = (gm_hbm.at[pl.ds(start_al + c * SEG_C, SEG_C), :] if rm
+               else gm_hbm.at[:, pl.ds(start_al + c * SEG_C, SEG_C)])
+        return pltpu.make_async_copy(src, buf.at[slot], sem.at[slot])
 
     @pl.when(nchunks > 0)
     def _():
@@ -701,9 +795,23 @@ def _segreduce_kernel(bounds, gm_hbm, start_ref, end_ref, out_ref,
         def _():
             get_dma((c + 1) % 2, c + 1).start()
         get_dma(c % 2, c).wait()
-        chunk = buf[c % 2]                       # [g_cols, SEG_C]
+        chunk = buf[c % 2]           # rm: [SEG_C, LANES] else [g_cols, SEG_C]
         pos = pos0 + (start_al + c * SEG_C)      # [SEG_C, 1]
         member = ((pos >= g_start) & (pos < g_end)).astype(jnp.float32)
+        if rm:
+            # slice to the real columns BEFORE the dot: keeps the MXU work
+            # at g_cols wide instead of LANES (8x fewer MACs)
+            ck = chunk[:, :g_cols]               # [SEG_C, g_cols]
+            if LIMB:
+                d = jax.lax.dot_general(
+                    member, _limb3(ck, 1),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [SEG_BLK, 3*g]
+                return accum + _limb_sum(d, 1, g_cols)
+            return accum + jax.lax.dot_general(
+                member, ck, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=MM_PREC)               # [SEG_BLK, g_cols]
         if LIMB:
             # member is 0/1 (exact bf16): limb-split the grad rows
             d = jax.lax.dot_general(
@@ -717,20 +825,38 @@ def _segreduce_kernel(bounds, gm_hbm, start_ref, end_ref, out_ref,
             preferred_element_type=jnp.float32,
             precision=MM_PREC)  # [g_cols, SEG_BLK]
 
+    acc_shape = (SEG_BLK, g_cols) if rm else (g_cols, SEG_BLK)
     accum = jax.lax.fori_loop(
-        0, nchunks, body, jnp.zeros((g_cols, SEG_BLK), jnp.float32))
-    out_ref[...] = accum
+        0, nchunks, body, jnp.zeros(acc_shape, jnp.float32))
+    # the OUTPUT stays component-major [g_cols, SEG_BLK] in BOTH layouts
+    # (one VMEM transpose per block in rm): a Pallas output is pinned to
+    # the default {1,0} layout, and [N, 16] default means 16 lanes padded
+    # to 128 — that 8x-padded layout then propagates through the d_packed
+    # slices into every [N, small] cotangent of the preprocess backward,
+    # materializing 488 MB temps (compile OOM, exp/lab_rm.log). [g_cols, N]
+    # default is padding-free and bitcast-transposes outside.
+    out_ref[...] = accum.T if rm else accum
 
 
 def segment_reduce_contiguous(cols: jnp.ndarray, gauss_start: jnp.ndarray,
                               num_rendered: jnp.ndarray,
-                              n_gauss: int) -> jnp.ndarray:
+                              n_gauss: int,
+                              rm_cols: int | None = None) -> jnp.ndarray:
     """[Gc, R_seg] gaussian-major columns -> [n_gauss, Gc] per-Gaussian sums.
 
     gauss_start: [N] exclusive prefix sums (binning.gauss_start); gaussian
     i's columns are [gauss_start[i], gauss_start[i] + tiles_i), clamped to
-    the instance capacity R (overflow truncation, matching the forward)."""
-    g_cols, R_seg = cols.shape
+    the instance capacity R (overflow truncation, matching the forward).
+
+    Accepts EITHER layout: component-major [Gc, R_seg] (g_cols explicit
+    via the shape) or row-major [R_seg, LANES] with `rm_cols` real columns
+    (the RM pipeline) — the row-major form returns [n_gauss, rm_cols]."""
+    rm = rm_cols is not None
+    if rm:
+        R_seg, _ = cols.shape
+        g_cols = rm_cols
+    else:
+        g_cols, R_seg = cols.shape
     R = R_seg - SEG_C            # capacity (cols carries one pad chunk)
     n_blocks = -(-n_gauss // SEG_BLK)
     ng_pad = n_blocks * SEG_BLK
@@ -746,8 +872,12 @@ def segment_reduce_contiguous(cols: jnp.ndarray, gauss_start: jnp.ndarray,
     starts3d = ext[:ng_pad].reshape(n_blocks, 1, SEG_BLK)
     ends3d = ext[1:ng_pad + 1].reshape(n_blocks, 1, SEG_BLK)
 
+    buf_shape = (2, SEG_C, LANES) if rm else (2, g_cols, SEG_C)
+    out_spec = pl.BlockSpec((g_cols, SEG_BLK), lambda b, *_: (0, b),
+                            memory_space=pltpu.VMEM)
+    out_shape = (g_cols, ng_pad)
     out = pl.pallas_call(
-        functools.partial(_segreduce_kernel, g_cols=g_cols),
+        functools.partial(_segreduce_kernel, g_cols=g_cols, rm=rm),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_blocks,),
@@ -758,14 +888,13 @@ def segment_reduce_contiguous(cols: jnp.ndarray, gauss_start: jnp.ndarray,
                 pl.BlockSpec((1, 1, SEG_BLK), lambda b, *_: (b, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((g_cols, SEG_BLK), lambda b, *_: (0, b),
-                                   memory_space=pltpu.VMEM),
+            out_specs=out_spec,
             scratch_shapes=[
-                pltpu.VMEM((2, g_cols, SEG_C), jnp.float32),
+                pltpu.VMEM(buf_shape, jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((g_cols, ng_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=_interpret(),
@@ -779,7 +908,10 @@ class _CompositeOut(NamedTuple):
 
 
 def _fwd_call(inst, F, tile_start, tile_count, num_tiles, grid_x, ch):
-    kernel = functools.partial(_fwd_kernel, grid_x=grid_x, ch=ch, f_cols=F)
+    rm = inst.ndim == 2 and inst.shape[1] == LANES and F <= LANES
+    kernel = functools.partial(_fwd_kernel, grid_x=grid_x, ch=ch, f_cols=F,
+                               rm=rm)
+    buf_shape = (2, CHUNK, LANES) if rm else (2, F, CHUNK)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -789,7 +921,7 @@ def _fwd_call(inst, F, tile_start, tile_count, num_tiles, grid_x, ch):
             out_specs=pl.BlockSpec((1, ch + 1, P), lambda i, *_: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, F, CHUNK), jnp.float32),
+                pltpu.VMEM(buf_shape, jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -802,10 +934,17 @@ def _fwd_call(inst, F, tile_start, tile_count, num_tiles, grid_x, ch):
 
 
 def _bwd_call(inst, F, tile_start, tile_count, g_all, blended_all,
-              num_tiles, grid_x, ch, R_pad):
+              num_tiles, grid_x, ch, R_pad, rm_out: bool | None = None):
     g_cols = _round8(F_GEOM - 2 + ch)  # 6 geom grads + feat grads, padded
+    rm = inst.ndim == 2 and inst.shape[1] == LANES and F <= LANES
+    if rm_out is None:
+        rm_out = rm
     kernel = functools.partial(_bwd_kernel, grid_x=grid_x, ch=ch, f_cols=F,
-                               g_cols=g_cols)
+                               g_cols=g_cols, rm=rm, rm_out=rm_out)
+    buf_shape = (2, CHUNK, LANES) if rm else (2, F, CHUNK)
+    gbuf_shape = (2, CHUNK, LANES) if rm_out else (2, g_cols, CHUNK)
+    rbuf_shape = (CHUNK, LANES) if rm_out else (g_cols, CHUNK)
+    grad_shape = (R_pad, LANES) if rm_out else (g_cols, R_pad)
     grad_inst = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -821,22 +960,22 @@ def _bwd_call(inst, F, tile_start, tile_count, g_all, blended_all,
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((2, F, CHUNK), jnp.float32),
-                pltpu.VMEM((2, g_cols, CHUNK), jnp.float32),
-                pltpu.VMEM((g_cols, CHUNK), jnp.float32),
+                pltpu.VMEM(buf_shape, jnp.float32),
+                pltpu.VMEM(gbuf_shape, jnp.float32),
+                pltpu.VMEM(rbuf_shape, jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((g_cols, R_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(grad_shape, jnp.float32),
         input_output_aliases={3: 0},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             has_side_effects=True),
         interpret=_interpret(),
     )(tile_start, tile_count, inst,
-      jnp.zeros((g_cols, R_pad), jnp.float32), g_all, blended_all)
+      jnp.zeros(grad_shape, jnp.float32), g_all, blended_all)
     return grad_inst
 
 
@@ -863,7 +1002,8 @@ def _composite_fwd(packed, bin_info, ch, num_tiles, grid_x):
     (gauss_id, slot_sorted, tile_start, tile_count,
      gauss_start, num_rendered) = bin_info
     F = F_GEOM + _round8(ch)
-    inst = build_instances(gauss_id, packed, F)
+    build = build_instances_rm if RM else build_instances
+    inst = build(gauss_id, packed, F)
     out = _fwd_call(inst, F, tile_start, tile_count, num_tiles, grid_x, ch)
     result = _CompositeOut(blended=out[:, :ch, :], final_t=out[:, ch, :])
     residuals = (inst, out, slot_sorted, tile_start, tile_count,
@@ -874,12 +1014,15 @@ def _composite_fwd(packed, bin_info, ch, num_tiles, grid_x):
 def _composite_bwd(ch, num_tiles, grid_x, residuals, g):
     (inst, out, slot_sorted, tile_start, tile_count,
      gauss_start, num_rendered, n_gauss) = residuals
-    F = inst.shape[0]
-    R_pad = inst.shape[1]
+    rm = inst.shape[1] == LANES
+    rm_out = rm or bool(RM_GRAD)
+    F = F_GEOM + _round8(ch) if rm else inst.shape[0]
+    R_pad = inst.shape[0] if rm else inst.shape[1]
     R = R_pad - CHUNK  # binning capacity
     g_all = jnp.concatenate([g.blended, g.final_t[:, None, :]], axis=1)
     grad_cm = _bwd_call(inst, F, tile_start, tile_count, g_all,
-                        out, num_tiles, grid_x, ch, R_pad)   # [Gc, R_pad]
+                        out, num_tiles, grid_x, ch, R_pad, rm_out=rm_out)
+    # rm_out: [R_pad, LANES] row-major; else [Gc, R_pad] component-major
 
     # permute sorted-order grad columns back to the PRESORT gaussian-major
     # order (instances contiguous per Gaussian). Two fast-path tricks
@@ -895,18 +1038,44 @@ def _composite_bwd(ch, num_tiles, grid_x, residuals, g):
     #     SORTED index of presort slot p. Never-rendered slots land on
     #     positions the kernel never wrote (zeros via the aliased init).
     R_seg = -(-R // SEG_C) * SEG_C + SEG_C
-    _, inv = jax.lax.sort(
-        (slot_sorted, jnp.arange(R, dtype=jnp.int32)), num_keys=1,
-        is_stable=False)
-    inv = jnp.concatenate([inv, jnp.full((R_seg - R,), R, jnp.int32)])
-    grad_rm = grad_cm.T                                   # [R_pad, Gc]
-    inv = jax.lax.optimization_barrier(inv)
-    gm_rows = jax.lax.optimization_barrier(
-        jax.lax.optimization_barrier(grad_rm)[inv])       # [R_seg, Gc]
-    gm_cm = gm_rows.T                                     # [Gc, R_seg]
 
-    per = segment_reduce_contiguous(gm_cm, gauss_start, num_rendered,
-                                    n_gauss)
+    def _inv_perm():
+        _, inv = jax.lax.sort(
+            (slot_sorted, jnp.arange(R, dtype=jnp.int32)), num_keys=1,
+            is_stable=False)
+        inv = jnp.concatenate([inv, jnp.full((R_seg - R,), R, jnp.int32)])
+        return jax.lax.optimization_barrier(inv)
+
+    if rm_out and PR_SCATTER:
+        # scatter the 128-lane grad rows straight to their presort slots:
+        # no sort, no gather. slot_sorted is a permutation of the rendered
+        # presort slots with sentinel R for padding — every duplicate at
+        # row R writes an exact-zero row (pad grads are zero-gated), so
+        # write order is irrelevant; rows the scatter never touches stay
+        # zero, matching the never-rendered-slot semantics below.
+        rows = jax.lax.optimization_barrier(grad_cm)[:R]
+        dst = jax.lax.optimization_barrier(slot_sorted)
+        gm_rows = jax.lax.optimization_barrier(
+            jnp.zeros((R_seg, LANES), jnp.float32)
+            .at[dst].set(rows, mode="drop"))
+        per = jax.lax.optimization_barrier(segment_reduce_contiguous(
+            gm_rows, gauss_start, num_rendered, n_gauss,
+            rm_cols=_round8(F_GEOM - 2 + ch)))
+    elif rm_out:
+        # grad rows are already row-major 128-lane: the permute is ONE
+        # wide gather on the DMA fast path, no boundary transposes
+        gm_rows = jax.lax.optimization_barrier(
+            jax.lax.optimization_barrier(grad_cm)[_inv_perm()])
+        per = jax.lax.optimization_barrier(segment_reduce_contiguous(
+            gm_rows, gauss_start, num_rendered, n_gauss,
+            rm_cols=_round8(F_GEOM - 2 + ch)))
+    else:
+        grad_rm = grad_cm.T                               # [R_pad, Gc]
+        gm_rows = jax.lax.optimization_barrier(
+            jax.lax.optimization_barrier(grad_rm)[_inv_perm()])
+        gm_cm = gm_rows.T                                 # [Gc, R_seg]
+        per = segment_reduce_contiguous(gm_cm, gauss_start, num_rendered,
+                                        n_gauss)
     # re-expand the reduced [6 geom + ch] gradient columns into the packed
     # row layout (cols 6:8 are the geometry pad)
     pieces = [per[:, 0:6], jnp.zeros((n_gauss, 2), jnp.float32),
