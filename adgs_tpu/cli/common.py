@@ -43,6 +43,9 @@ class ModelConfig:
     # route primitives to intersecting tile-row slabs via all-to-all
     # instead of all-gathering every per-primitive render column
     primitive_exchange: bool = False
+    # camera-batch data parallelism: B > 1 trains B cameras per step on a
+    # {data: B, tile: devices} mesh (needs B * max(devices, 1) chips)
+    batch_cameras: int = 1
 
     order_args: Optional[dict] = None
 

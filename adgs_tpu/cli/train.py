@@ -76,7 +76,8 @@ def main(argv=None):
         white_background=model_cfg.white_background,
         profile_dir=args.profile,
         devices=model_cfg.devices,
-        primitive_exchange=model_cfg.primitive_exchange)
+        primitive_exchange=model_cfg.primitive_exchange,
+        batch_cameras=model_cfg.batch_cameras)
 
     if args.start_checkpoint:
         trainer.resume(args.start_checkpoint)

@@ -34,6 +34,11 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# backward window-run accumulation (see _bwd_kernel); module-level so the
+# A/B lab (exp/lab_envbwd.py) can flip it and re-jit
+ACCUM_RUNS = True
+
+
 BH = 8      # pixels per block, rows
 BW = 32     # pixels per block, cols
 WH = 48     # window rows (multiple of 8): KITTI's 707px-focal cameras
@@ -197,11 +202,28 @@ def _fwd_kernel(y0s, x0s, xi_ref, yi_ref, w_ref, grid_hbm, out_ref,
 
 
 def _bwd_kernel(y0s, x0s, xi_ref, yi_ref, w_ref, g_ref, zeros_in, grid_hbm,
-                buf, rsem, wsem, *, C: int, nb: int, Wg: int):
+                buf, rsem, wsem, *, C: int, nb: int, Wg: int,
+                accum_runs: bool = True):
     del zeros_in  # aliased to grid_hbm; provides the zero init
     b = pl.program_id(0)
     y0 = y0s[b]
     x0 = x0s[b]
+    # consecutive raster-order blocks usually share the SAME 128-aligned
+    # window (a 32-px block spans ~60 azimuth cells vs the 256-cell
+    # window): accumulate in VMEM across the run and flush only when the
+    # window changes — cuts the serialized read-modify-write DMA chains
+    # (the whole cost of this kernel; the matmuls are ~10%) by the
+    # sharing factor (~2-4x on KITTI-shaped frames). accum_runs=False
+    # restores the strict per-block RMW (A/B vehicle, exp/lab_envbwd.py).
+    runs = jnp.bool_(accum_runs)
+    same_prev = runs & jnp.logical_and(
+        b > 0,
+        jnp.logical_and(y0s[jnp.maximum(b - 1, 0)] == y0,
+                        x0s[jnp.maximum(b - 1, 0)] == x0))
+    same_next = runs & jnp.logical_and(
+        b + 1 < nb,
+        jnp.logical_and(y0s[jnp.minimum(b + 1, nb - 1)] == y0,
+                        x0s[jnp.minimum(b + 1, nb - 1)] == x0))
 
     def col_dmas(vmem_to_hbm: bool, sems):
         out = []
@@ -214,13 +236,16 @@ def _bwd_kernel(y0s, x0s, xi_ref, yi_ref, w_ref, g_ref, zeros_in, grid_hbm,
                 hbm if vmem_to_hbm else vm, sems.at[j]))
         return out
 
-    # strict read-modify-write: neighbouring image blocks' windows
-    # overlap (also through the azimuth wrap) and the grid is sequential,
-    # so read(b) must see write(b-1) — guaranteed by the write wait at
-    # the end of the previous body.
+    # strict read-modify-write at window-run boundaries: different-window
+    # neighbours may still overlap (also through the azimuth wrap) and the
+    # grid is sequential, so a run's first read must see the previous
+    # run's write — guaranteed by the write wait in the flushing program.
     reads = col_dmas(False, rsem)
-    for d in reads:
-        d.start()
+
+    @pl.when(jnp.logical_not(same_prev))
+    def _():
+        for d in reads:
+            d.start()
 
     adds = []
     for c in range(C):
@@ -236,15 +261,21 @@ def _bwd_kernel(y0s, x0s, xi_ref, yi_ref, w_ref, g_ref, zeros_in, grid_hbm,
             precision=jax.lax.Precision.HIGHEST)  # [WH, WW]
         adds.append(acc)
 
-    for d in reads:
-        d.wait()
+    @pl.when(jnp.logical_not(same_prev))
+    def _():
+        for d in reads:
+            d.wait()
+
     for c in range(C):
         buf[c] += adds[c]
-    writes = col_dmas(True, wsem)
-    for d in writes:
-        d.start()
-    for d in writes:
-        d.wait()
+
+    @pl.when(jnp.logical_not(same_next))
+    def _():
+        writes = col_dmas(True, wsem)
+        for d in writes:
+            d.start()
+        for d in writes:
+            d.wait()
 
 
 def _tap_blocks(grid_shape, coords, H, W, nby, nbx):
@@ -305,14 +336,16 @@ def sample_image_pallas(grid, xi_b, yi_b, w_b, y0, x0,
 
 
 def scatter_image_pallas(g_b, grid_shape, xi_b, yi_b, w_b, y0, x0,
-                         nby: int, nbx: int) -> jnp.ndarray:
+                         nby: int, nbx: int,
+                         accum_runs: bool = True) -> jnp.ndarray:
     """[nb, C, P] blocked cotangent -> [C, Hg, Wg] grid gradient."""
     C, Hg, Wg = grid_shape
     nb = nby * nbx
     tap_spec = pl.BlockSpec((1, 4, P), lambda b, *_: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, C=C, nb=nb, Wg=Wg),
+        functools.partial(_bwd_kernel, C=C, nb=nb, Wg=Wg,
+                          accum_runs=accum_runs),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nb,),
@@ -396,7 +429,8 @@ def _gsi_bwd(res, g):
         bad_idx, valid = _bad_blocks(ok_b)
         g_kern = g_b * ok_b[:, None, None].astype(g_b.dtype)
         d1 = scatter_image_pallas(g_kern, grid_shape, xi_b, yi_b, w_b,
-                                  y0, x0, nby, nbx)
+                                  y0, x0, nby, nbx,
+                                  accum_runs=bool(ACCUM_RUNS))
         d2 = _residual_bwd(g_b, grid_shape, xi_b, yi_b, w_b, bad_idx,
                            valid)
         return d1 + d2

@@ -440,6 +440,7 @@ def make_sharded_train_step(
     primitive_exchange: bool = False,
     exchange_capacity: Optional[int] = None,
     loss_mode: str = "slab",
+    data_axis: Optional[str] = None,
 ):
     """Sharded analog of train.step.make_train_step: one jitted multi-device
     program. Same call signature as the single-device step — the Trainer
@@ -453,12 +454,17 @@ def make_sharded_train_step(
         scaling ceiling (VERDICT weak #2).
       - "gathered": all-gather the slabs and run the global loss stack
         replicated (the round-2 behaviour; parity reference).
+
+    data_axis: camera-batch data parallelism on a 2-D mesh (slab mode
+    only) — see _make_slab_train_step.
     """
     if loss_mode == "slab":
         return _make_slab_train_step(
             config, opt, frame_gap, scene_extent, cameras_extent, mesh,
             axis, capacity, max_per_tile, chunk, inv_depth, backend,
-            primitive_exchange, exchange_capacity)
+            primitive_exchange, exchange_capacity, data_axis=data_axis)
+    if data_axis is not None:
+        raise ValueError("data_axis requires loss_mode='slab'")
 
     render_objmask = opt.lambda_obj > 0.0
 
@@ -618,32 +624,49 @@ def _slab_image_losses(rendered, depth_s, opac_s, flow_img_s, sem_s,
 def _make_slab_train_step(config, opt, frame_gap, scene_extent,
                           cameras_extent, mesh, axis, capacity,
                           max_per_tile, chunk, inv_depth, backend,
-                          primitive_exchange, exchange_capacity):
+                          primitive_exchange, exchange_capacity,
+                          data_axis: Optional[str] = None):
     """Sharded train step with SLAB-LOCAL losses: render, env-background
     sampling AND the image-loss stack all stay on each device's tile-row
     slab (the env sample and loss tail were replicated full-image work in
-    the gathered mode — the dominant non-scaling term at D >= 4)."""
+    the gathered mode — the dominant non-scaling term at D >= 4).
+
+    data_axis: optional second mesh axis for CAMERA-BATCH data parallelism
+    (SURVEY §2.3 DP row composed with tile sharding on a 2-D mesh). When
+    set, `camera`, `batch` and `cam_rays` carry a leading B axis with
+    B == mesh.shape[data_axis]; each data row trains one camera on the
+    production (pallas) path — no vmap over the kernels — and the step
+    behaves like B reference iterations of densification statistics
+    (grad norms and visibility summed over cameras, radii maxed), with
+    the loss the camera-mean so thresholds keep their meaning."""
     render_objmask = opt.lambda_obj > 0.0
     rep = P()
+    batched = data_axis is not None
+
+    def ds(*rest):
+        """Prepend the data axis to a PartitionSpec when batched."""
+        return P(data_axis, *rest) if batched else P(*rest)
 
     @functools.partial(jax.jit, static_argnames=("active_sh_degree",))
     def step(params: GaussianParams, env: EnvironmentMap,
              opt_state: AdamState, state: GaussianState,
              camera: Camera, batch: FrameBatch, cam_rays: jnp.ndarray,
              iteration: jnp.ndarray, active_sh_degree: int = 3):
-        settings = settings_for_camera(camera, active_sh_degree, inv_depth)
         D = mesh.shape[axis]
-        rows_per_dev = -(-settings.grid_y // D)
+        B = mesh.shape[data_axis] if batched else 1
+        H, W = camera.height, camera.width
+        grid_y = (H + TILE_Y - 1) // TILE_Y
+        rows_per_dev = -(-grid_y // D)
         rows = rows_per_dev * TILE_Y
-        H, W = settings.image_height, settings.image_width
         H_pad = D * rows
-        flow_time = batch.flow.time if batch.flow is not None else None
+        has_flow = batch.flow is not None
         can_shard_prims = (params.scene_capacity % D == 0
                            and params.obj_capacity % D == 0)
+        off = 1 if batched else 0   # leading B axis on batch/rays leaves
 
         def pad_rows(x, row_axis):
             pads = [(0, 0)] * x.ndim
-            pads[row_axis] = (0, H_pad - H)
+            pads[row_axis + off] = (0, H_pad - H)
             return jnp.pad(x, pads)
 
         batch_p = batch._replace(
@@ -651,17 +674,23 @@ def _make_slab_train_step(config, opt, frame_gap, scene_extent,
             depth=pad_rows(batch.depth, 0),
             sky=pad_rows(batch.sky, 0),
             semantic=pad_rows(batch.semantic, 0),
-            flow=None if batch.flow is None else batch.flow._replace(
+            flow=None if not has_flow else batch.flow._replace(
                 flow=pad_rows(batch.flow.flow, 1),
                 vis=pad_rows(batch.flow.vis, 0)))
         rays_p = pad_rows(cam_rays, 0)
-        so = jnp.zeros((params.capacity, 2), dtype=jnp.float32)
+        so_shape = ((B,) if batched else ()) + (params.capacity, 2)
+        so = jnp.zeros(so_shape, dtype=jnp.float32)
 
-        def inner(trainables, so_, rays_sl, batch_sl, state_):
+        def inner(trainables, so_, cam, rays_sl, batch_sl, state_):
+            if batched:   # squeeze this data row's camera block
+                cam, so_, rays_sl, batch_sl = jax.tree.map(
+                    lambda x: x[0], (cam, so_, rays_sl, batch_sl))
+            settings = settings_for_camera(cam, active_sh_degree, inv_depth)
+            flow_time = batch_sl.flow.time if has_flow else None
             p = trainables.gaussians
             slab, t, visible, radii, _, ex_overflow, nrend = _device_render(
                 p, state_, so_, config=config, settings=settings,
-                time=camera.time, flow_time=flow_time,
+                time=cam.time, flow_time=flow_time,
                 render_objmask=render_objmask, D=D, axis=axis,
                 rows_per_dev=rows_per_dev, capacity=capacity,
                 max_per_tile=max_per_tile, chunk=chunk, backend=backend,
@@ -672,7 +701,7 @@ def _make_slab_train_step(config, opt, frame_gap, scene_extent,
             depth_s = slab[:, :W, 3]
             chc = 4
             flow_img_s = sem_s = None
-            if flow_time is not None:
+            if has_flow:
                 flow_img_s = jnp.transpose(slab[:, :W, chc:chc + 3],
                                            (2, 0, 1))
                 chc += 3
@@ -682,31 +711,41 @@ def _make_slab_train_step(config, opt, frame_gap, scene_extent,
             opac_s = 1.0 - t_s
             # env background on THIS slab's rays only: 1/D of the frame
             # instead of a replicated full-image sample
-            bg = trainables.env.image_background(rays_sl, camera.world_view)
+            bg = trainables.env.image_background(rays_sl, cam.world_view)
             rendered = color + t_s[None] * bg
             row0 = jax.lax.axis_index(axis) * rows
             total_img, logs = _slab_image_losses(
                 rendered, depth_s, opac_s, flow_img_s, sem_s, batch_sl,
                 opt, scene_extent, axis, D, H, W, row0)
             nrend = jax.lax.pmax(nrend, axis)
+            if batched:
+                # loss/logs: camera means (replicated outputs); stats keep
+                # their per-camera B axis for B-iterations-worth semantics
+                total_img = jax.lax.pmean(total_img, data_axis)
+                logs = jax.tree.map(
+                    lambda v: jax.lax.pmean(v, data_axis), logs)
+                nrend = jax.lax.pmax(nrend, data_axis)
+                ex_overflow = (jax.lax.pmax(
+                    ex_overflow.astype(jnp.int32), data_axis) > 0)
+                radii, visible = radii[None], visible[None]
             return total_img, logs, radii, visible, ex_overflow, nrend
 
         b_specs = FrameBatch(
-            image=P(None, axis), depth=P(axis), sky=P(axis),
-            semantic=P(axis),
-            flow=None if batch_p.flow is None else batch_p.flow._replace(
-                time=rep, K=rep, R=rep, T=rep, flow=P(None, axis),
-                vis=P(axis)),
-            flow_valid=None if batch_p.flow_valid is None else rep)
+            image=ds(None, axis), depth=ds(axis), sky=ds(axis),
+            semantic=ds(axis),
+            flow=None if not has_flow else batch_p.flow._replace(
+                time=ds(), K=ds(), R=ds(), T=ds(), flow=ds(None, axis),
+                vis=ds(axis)),
+            flow_valid=None if batch_p.flow_valid is None else ds())
         fn = shard_map(
             inner, mesh=mesh,
-            in_specs=(rep, rep, P(axis), b_specs, rep),
-            out_specs=(rep, rep, rep, rep, rep, rep),
+            in_specs=(rep, ds(), ds(), ds(axis), b_specs, rep),
+            out_specs=(rep, rep, ds(), ds(), rep, rep),
             check_vma=False)
 
         def loss_fn(trainables: TrainableState, so_):
             total_img, logs, radii, vis, exo, nrend = fn(
-                trainables, so_, rays_p, batch_p, state)
+                trainables, so_, camera, rays_p, batch_p, state)
             g_total, g_logs = gaussian_term_losses(
                 trainables.gaussians, state, opt, frame_gap)
             total = total_img + g_total
@@ -723,14 +762,25 @@ def _make_slab_train_step(config, opt, frame_gap, scene_extent,
             trainables, grads, opt_state, lrs)
 
         visf = vis.astype(jnp.float32)
-        snorm = jnp.linalg.norm(so_grad, axis=-1)
+        if batched:
+            # dL/dso scales with 1/B through the camera mean; undo it so
+            # densify thresholds keep their single-camera meaning, then
+            # accumulate the batch like B reference iterations
+            snorm = jnp.linalg.norm(so_grad * B, axis=-1)       # [B, N]
+            radii_max = jnp.max(
+                jnp.where(vis, radii.astype(jnp.float32), 0.0), axis=0)
+            grad_acc = jnp.sum(snorm * visf, axis=0)
+            den_acc = jnp.sum(visf, axis=0)
+        else:
+            snorm = jnp.linalg.norm(so_grad, axis=-1)
+            radii_max = jnp.where(vis, radii.astype(jnp.float32), 0.0)
+            grad_acc = snorm * visf
+            den_acc = visf
         new_state = dataclasses.replace(
             state,
-            max_radii2d=jnp.maximum(state.max_radii2d,
-                                    jnp.where(vis, radii.astype(jnp.float32),
-                                              0.0)),
-            xyz_grad_accum=state.xyz_grad_accum + snorm * visf,
-            denom=state.denom + visf,
+            max_radii2d=jnp.maximum(state.max_radii2d, radii_max),
+            xyz_grad_accum=state.xyz_grad_accum + grad_acc,
+            denom=state.denom + den_acc,
         )
         return (new_trainables.gaussians, new_trainables.env, new_opt_state,
                 new_state, logs)

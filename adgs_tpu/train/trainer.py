@@ -94,7 +94,8 @@ class Trainer:
                  profile_dir: Optional[str] = None,
                  devices: int = 0,
                  primitive_exchange: bool = False,
-                 exchange_capacity: int = 0):
+                 exchange_capacity: int = 0,
+                 batch_cameras: int = 1):
         self.scene = scene
         self.opt = opt
         self.model_path = model_path
@@ -114,14 +115,23 @@ class Trainer:
         self.devices = int(devices)
         self.primitive_exchange = primitive_exchange
         self.exchange_capacity = int(exchange_capacity)
+        # batch_cameras B > 1 adds a "data" mesh axis: B cameras per step,
+        # each data row on the production pallas path (2-D {data, tile}
+        # mesh when devices > 1 too); needs B * max(devices, 1) chips
+        self.batch_cameras = max(int(batch_cameras), 1)
         self.mesh = None
-        if self.devices > 1:
+        if self.devices > 1 or self.batch_cameras > 1:
             from ..parallel.mesh import make_mesh
-            self.mesh = make_mesh({"tile": self.devices})
-            if capacity_quantum % self.devices:
+            shape = {}
+            if self.batch_cameras > 1:
+                shape["data"] = self.batch_cameras
+            shape["tile"] = max(self.devices, 1)
+            self.mesh = make_mesh(shape)
+            tile_d = max(self.devices, 1)
+            if capacity_quantum % tile_d:
                 raise ValueError(
                     f"capacity_quantum {capacity_quantum} must divide by "
-                    f"devices {self.devices} (1/D primitive sharding)")
+                    f"devices {tile_d} (1/D primitive sharding)")
         self.rng = random.Random(seed)
         self.np_rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed)
@@ -174,13 +184,52 @@ class Trainer:
                 dtype=jnp.float32)
         return self._ray_cache[cam_id]
 
+    def _frames_for_step(self, picks: list, opt):
+        """Load the step's frame(s); stack them when batch_cameras > 1.
+
+        Flow packages must give the batch a CONSISTENT pytree structure,
+        so when any picked frame has flow supervision the others get a
+        zero package gated off by flow_valid=False (the same scalar gate
+        the loss already applies, losses.py flow_valid)."""
+        frames = self.scene.train_frames
+        loaded = [self._get_frame("train", i) for i in picks]
+        want_flow = (opt.lambda_flow > 0.0
+                     and any(fl for _, _, fl in loaded))
+        cams, batches, rays_l = [], [], []
+        for i, (cam, batch, flow_list) in zip(picks, loaded):
+            if want_flow:
+                if flow_list:
+                    raw = flow_list[self.rng.randrange(len(flow_list))]
+                    batch = batch._replace(flow=flow_package(raw),
+                                           flow_valid=jnp.asarray(True))
+                else:
+                    from ..ops.flow import FlowPackage
+                    H, W = batch.depth.shape
+                    batch = batch._replace(
+                        flow=FlowPackage(
+                            time=jnp.asarray(cam.time, jnp.float32),
+                            K=jnp.eye(3, dtype=jnp.float32),
+                            R=jnp.eye(3, dtype=jnp.float32),
+                            T=jnp.zeros(3, jnp.float32),
+                            flow=jnp.zeros((2, H, W), jnp.float32),
+                            vis=jnp.zeros((H, W), jnp.float32)),
+                        flow_valid=jnp.asarray(False))
+            cams.append(cam)
+            batches.append(batch)
+            rays_l.append(self._rays_for(cam, frames[i].cam_id))
+        if self.batch_cameras == 1:
+            return cams[0], batches[0], rays_l[0]
+        from ..parallel.data_parallel import stack_batches, stack_cameras
+        return stack_cameras(cams), stack_batches(batches), jnp.stack(rays_l)
+
     def _build_step(self):
         if self.mesh is not None:
             from ..parallel.shard import (make_sharded_train_step,
                                           default_exchange_capacity)
+            tile_d = max(self.devices, 1)
             if not self.exchange_capacity:
                 self.exchange_capacity = default_exchange_capacity(
-                    self.params.capacity // self.devices, self.devices)
+                    self.params.capacity // tile_d, tile_d)
             self._step_fn = make_sharded_train_step(
                 self.config, self.opt, self.scene.frame_gap,
                 self.scene.scene_extent, self.scene.cameras_extent,
@@ -188,7 +237,8 @@ class Trainer:
                 capacity=self.capacity, max_per_tile=self.max_per_tile,
                 chunk=self.chunk, inv_depth=self.inv_depth,
                 primitive_exchange=self.primitive_exchange,
-                exchange_capacity=self.exchange_capacity)
+                exchange_capacity=self.exchange_capacity,
+                data_axis="data" if self.batch_cameras > 1 else None)
             return
         self._step_fn = make_train_step(
             self.config, self.opt, self.scene.frame_gap,
@@ -344,19 +394,16 @@ class Trainer:
             if it % 1000 == 0 and self.active_sh_degree < self.config.sh_degree:
                 self.active_sh_degree += 1
 
-            if not stack:
-                stack = list(range(len(self.scene.train_frames)))
-                if opt.data_sample == "stack":
-                    self.rng.shuffle(stack)
-            fidx = stack.pop(0 if opt.data_sample == "order"
-                             else self.rng.randrange(len(stack)))
-            cam, batch, flow_list = self._get_frame("train", fidx)
-            rays = self._rays_for(cam, self.scene.train_frames[fidx].cam_id)
-
-            if opt.lambda_flow > 0.0 and flow_list:
-                raw = flow_list[self.rng.randrange(len(flow_list))]
-                batch = batch._replace(flow=flow_package(raw),
-                                       flow_valid=jnp.asarray(True))
+            picks = []
+            for _ in range(self.batch_cameras):
+                if not stack:
+                    stack = list(range(len(self.scene.train_frames)))
+                    if opt.data_sample == "stack":
+                        self.rng.shuffle(stack)
+                picks.append(stack.pop(0 if opt.data_sample == "order"
+                                       else self.rng.randrange(len(stack))))
+            fidx = picks[0]
+            cam, batch, rays = self._frames_for_step(picks, opt)
 
             try:
                 with timer:
