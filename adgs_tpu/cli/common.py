@@ -42,7 +42,9 @@ class ModelConfig:
     devices: int = 0
     # route primitives to intersecting tile-row slabs via all-to-all
     # instead of all-gathering every per-primitive render column
-    primitive_exchange: bool = False
+    # (default ON since round 4: ~5x less ICI volume, overflow-autotuned
+    # pair capacity; --primitive_exchange 0 restores the all-gather tier)
+    primitive_exchange: bool = True
     # camera-batch data parallelism: B > 1 trains B cameras per step on a
     # {data: B, tile: devices} mesh (needs B * max(devices, 1) chips)
     batch_cameras: int = 1
@@ -68,8 +70,10 @@ def add_dataclass_args(parser: argparse.ArgumentParser, dc,
             getattr(dc, f.name) if not isinstance(dc, type) else f.default)
         default = None  # None = "not set on CLI"
         if t is bool or isinstance(f.default, bool):
+            # --flag / --no_flag both exist so a True dataclass default
+            # (e.g. primitive_exchange) stays CLI-overridable
             parser.add_argument(f"--{f.name}", default=None,
-                                action="store_true")
+                                action=argparse.BooleanOptionalAction)
         else:
             cast = type(f.default) if f.default is not None else str
             if f.default is None:

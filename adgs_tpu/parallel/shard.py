@@ -621,6 +621,44 @@ def _slab_image_losses(rendered, depth_s, opac_s, flow_img_s, sem_s,
     return total, logs
 
 
+def sharded_adam_update(trainables: TrainableState, grads: TrainableState,
+                        opt_state: AdamState, lrs: TrainableState,
+                        mesh: Mesh) -> tuple[TrainableState, AdamState]:
+    """ZeRO-style optimizer sharding: every device updates a 1/D slice of
+    each parameter leaf (sliced along the first axis divisible by the
+    device count — gaussian capacity for params, the 8192 row axis for
+    the env grid), and the out-spec reassembles the full leaves (an
+    all-gather on hardware). The replicated Adam update is O(N) compute
+    + 3x O(N) HBM per device regardless of mesh size — one of the two
+    non-scaling tails of the slab step (the other being the grad psum,
+    which is inherent to replicated parameters). Indivisible leaves
+    (scalars, tiny vectors) stay replicated."""
+    D = 1
+    for s in mesh.shape.values():
+        D *= s
+    axes = tuple(mesh.axis_names)
+
+    def spec_of(x):
+        x = jnp.asarray(x)
+        for i, s in enumerate(x.shape):
+            if s >= D and s % D == 0:
+                return P(*([None] * i + [axes]))
+        return P()
+
+    p_specs = jax.tree.map(spec_of, trainables)
+    g_specs = jax.tree.map(spec_of, grads)
+    lr_specs = jax.tree.map(lambda _: P(), lrs)
+    os_specs = AdamState(m=p_specs, v=p_specs, count=P())
+
+    def inner(t, g, os_, lr):
+        return adam_update(t, g, os_, lr)
+
+    fn = shard_map(inner, mesh=mesh,
+                   in_specs=(p_specs, g_specs, os_specs, lr_specs),
+                   out_specs=(p_specs, os_specs), check_vma=False)
+    return fn(trainables, grads, opt_state, lrs)
+
+
 def _make_slab_train_step(config, opt, frame_gap, scene_extent,
                           cameras_extent, mesh, axis, capacity,
                           max_per_tile, chunk, inv_depth, backend,
@@ -758,8 +796,8 @@ def _make_slab_train_step(config, opt, frame_gap, scene_extent,
             loss_fn, argnums=(0, 1), has_aux=True)(trainables, so)
 
         lrs = lr_tree(opt, scene_extent, cameras_extent, iteration)
-        new_trainables, new_opt_state = adam_update(
-            trainables, grads, opt_state, lrs)
+        new_trainables, new_opt_state = sharded_adam_update(
+            trainables, grads, opt_state, lrs, mesh)
 
         visf = vis.astype(jnp.float32)
         if batched:

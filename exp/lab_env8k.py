@@ -58,7 +58,15 @@ def main():
     print(f"RTT {RTT*1e3:.1f} ms", flush=True)
 
     rays = jnp.asarray(camera_rays(707.0, H, W), jnp.float32)
-    wv = jnp.eye(4, dtype=jnp.float32)
+    # horizon-looking pose (KITTI-like): camera +z -> world +x, so the
+    # image footprint sits on the equirect equator, NOT the pole — an
+    # identity pose puts every block at the pole, where no [48,256]
+    # window covers the taps and the WHOLE frame silently falls back to
+    # the generic path (the round-4 81ms mystery).
+    M = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], np.float32)
+    wv = jnp.asarray(np.block([[M.T, np.zeros((3, 1), np.float32)],
+                               [np.zeros((1, 3), np.float32),
+                                np.ones((1, 1), np.float32)]]))
     cot = jnp.asarray(
         np.random.default_rng(0).normal(size=(3, H, W)).astype(np.float32))
 
@@ -79,8 +87,9 @@ def main():
 
         # bwd kernel alone: precompute taps outside, time the pallas call
         from adgs_tpu.models.env_map import direction_to_angles
-        view = rays / jnp.maximum(
-            jnp.linalg.norm(rays, axis=-1, keepdims=True), 1e-12)
+        wrays = jnp.matmul(rays, wv[:3, :3].T, precision="highest")
+        view = wrays / jnp.maximum(
+            jnp.linalg.norm(wrays, axis=-1, keepdims=True), 1e-12)
         coords = direction_to_angles(view) * jnp.asarray(
             [1.0 / jnp.pi, 2.0 / jnp.pi], jnp.float32)
         gshape = env.grid.shape

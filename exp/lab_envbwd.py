@@ -59,7 +59,15 @@ def main():
 
     env = EnvironmentMap.create(RES, seed=0)
     rays = jnp.asarray(camera_rays(707.0, H, W), jnp.float32)
-    wv = jnp.eye(4, dtype=jnp.float32)
+    # horizon-looking pose (KITTI-like): camera +z -> world +x, so the
+    # image footprint sits on the equirect equator, NOT the pole — an
+    # identity pose puts every block at the pole, where no [48,256]
+    # window covers the taps and the WHOLE frame silently falls back to
+    # the generic path (the round-4 81ms mystery).
+    M = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], np.float32)
+    wv = jnp.asarray(np.block([[M.T, np.zeros((3, 1), np.float32)],
+                               [np.zeros((1, 3), np.float32),
+                                np.ones((1, 1), np.float32)]]))
     cot = jnp.asarray(
         np.random.default_rng(0).normal(size=(3, H, W)).astype(np.float32))
 

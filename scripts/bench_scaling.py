@@ -31,10 +31,14 @@ def main():
     p.add_argument("--height", type=int, default=256)
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--force_cpu_devices", type=int, default=0)
-    p.add_argument("--exchange", action="store_true",
+    p.add_argument("--exchange", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="primitive-exchange routing (per-device work "
                         "scales ~1/D; the all-gather tier leaves O(N) "
-                        "window/bin-table work replicated)")
+                        "window/bin-table work replicated). DEFAULT ON "
+                        "(round-4: wins structurally at 8 dev, ~5x less "
+                        "ICI volume by the PERF.md model); --no-exchange "
+                        "measures the all-gather tier.")
     args = p.parse_args()
 
     if args.force_cpu_devices:

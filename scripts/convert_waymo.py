@@ -9,9 +9,11 @@ sampling, optional sparse lidar depth maps, every-4th-frame val split, and
 cameras.npz + image/ + points3d.ply in the reader contract
 (scene/dataset_readers.py:261-357).
 
-ALL geometry runs in adgs_tpu.data.lidar (numpy, unit-tested); the
-waymo-open-dataset SDK + tensorflow are used ONLY to decode the tfrecord
-protos (run in a dedicated env, like the reference's converter envs).
+ALL geometry runs in adgs_tpu.data.lidar (numpy, unit-tested). The
+tfrecord framing + Frame proto decode is STANDALONE by default
+(adgs_tpu.data.tfrecord + adgs_tpu.data.waymo_proto — no tensorflow, no
+SDK); when the waymo-open-dataset SDK happens to be installed it is used
+instead (exact upstream schema, same downstream loop).
 
   python scripts/convert_waymo.py <segment.tfrecord> <dst> \
       [--first_frame 0] [--last_frame -1] [--select_camera 0] \
@@ -29,30 +31,72 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from adgs_tpu.data import lidar  # noqa: E402
+from adgs_tpu.data import waymo_proto as wp  # noqa: E402
 from adgs_tpu.data.ply import store_point_cloud  # noqa: E402
 
 
-def decode_range_images(frame, dataset_pb2, zlib):
-    """laser_name -> ([H,W] first-return ranges, calib), plus the TOP
-    lidar's per-pixel pose tensor. Proto/zlib decoding only — all geometry
-    lives in adgs_tpu.data.lidar."""
+def _from_sdk(pb, dataset_pb2, zlib) -> wp.Frame:
+    """SDK proto -> the standalone Frame dataclasses (shared loop)."""
+    def mat(blob):
+        if not blob:
+            return None
+        m = dataset_pb2.MatrixFloat()
+        m.ParseFromString(zlib.decompress(blob))
+        return np.array(m.data, np.float32).reshape(tuple(m.shape.dims))
+
+    fr = wp.Frame(pose=np.array(pb.pose.transform).reshape(4, 4),
+                  timestamp_micros=pb.timestamp_micros)
+    for c in pb.context.camera_calibrations:
+        fr.camera_calibrations.append(wp.CameraCalibration(
+            name=c.name, intrinsic=np.array(c.intrinsic),
+            extrinsic=np.array(c.extrinsic.transform).reshape(4, 4),
+            width=c.width, height=c.height))
+    for c in pb.context.laser_calibrations:
+        fr.laser_calibrations.append(wp.LaserCalibration(
+            name=c.name, beam_inclinations=np.array(c.beam_inclinations),
+            beam_inclination_min=c.beam_inclination_min,
+            beam_inclination_max=c.beam_inclination_max,
+            extrinsic=np.array(c.extrinsic.transform).reshape(4, 4)))
+    for im in pb.images:
+        fr.images.append(wp.CameraImage(name=im.name, image=im.image))
+    for la in pb.lasers:
+        fr.lasers.append(wp.Laser(
+            name=la.name,
+            range_image=mat(la.ri_return1.range_image_compressed),
+            range_image_pose=mat(
+                la.ri_return1.range_image_pose_compressed)))
+    return fr
+
+
+def load_frames(path: str):
+    """Decoded Frame dataclasses — SDK when present, standalone codec
+    otherwise (byte-identical tfrecord framing + proto wire format)."""
+    try:
+        import tensorflow as tf
+        from waymo_open_dataset import dataset_pb2
+    except ImportError:
+        from adgs_tpu.data import tfrecord
+        return [wp.decode_frame(rec) for rec in tfrecord.read_records(path)]
+    import zlib
+    frames = []
+    for data in tf.data.TFRecordDataset(path, compression_type=""):
+        pb = dataset_pb2.Frame()
+        pb.ParseFromString(bytearray(data.numpy()))
+        frames.append(_from_sdk(pb, dataset_pb2, zlib))
+    return frames
+
+
+def decode_range_images(frame: wp.Frame):
+    """laser_name -> [H,W] first-return ranges, plus the TOP lidar's
+    per-pixel pose tensor."""
     out = {}
     top_pose = None
     for laser in frame.lasers:
-        if not laser.ri_return1.range_image_compressed:
+        if laser.range_image is None:
             continue
-        ri = dataset_pb2.MatrixFloat()
-        ri.ParseFromString(
-            zlib.decompress(laser.ri_return1.range_image_compressed))
-        shape = tuple(ri.shape.dims)
-        data = np.array(ri.data, np.float32).reshape(shape)
-        out[laser.name] = data[..., 0]   # channel 0 = range
-        if laser.name == dataset_pb2.LaserName.TOP:
-            rp = dataset_pb2.MatrixFloat()
-            rp.ParseFromString(zlib.decompress(
-                laser.ri_return1.range_image_pose_compressed))
-            top_pose = np.array(rp.data, np.float32).reshape(
-                tuple(rp.shape.dims))    # [H, W, 6] rpy + xyz
+        out[laser.name] = laser.range_image[..., 0]   # channel 0 = range
+        if laser.name == wp.LASER_TOP:
+            top_pose = laser.range_image_pose        # [H, W, 6] rpy + xyz
     return out, top_pose
 
 
@@ -71,23 +115,13 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
-    try:
-        import tensorflow as tf
-        from waymo_open_dataset import dataset_pb2
-    except ImportError:
-        print("ERROR: waymo-open-dataset + tensorflow are required to "
-              "decode tfrecord protos (run in a dedicated environment, as "
-              "the reference does for scripts/waymo/waymo.py).")
-        sys.exit(1)
-    import zlib
     from PIL import Image
 
     os.makedirs(os.path.join(args.dst, "image"), exist_ok=True)
     if args.use_depth:
         os.makedirs(os.path.join(args.dst, "lidar_depth"), exist_ok=True)
 
-    ds = tf.data.TFRecordDataset(args.tfrecord, compression_type="")
-    frames_raw = list(ds)
+    frames_raw = load_frames(args.tfrecord)
     last = args.last_frame if args.last_frame != -1 else len(frames_raw) - 1
     n_frames = last - args.first_frame + 1
     val_set = lidar.get_val_frames(n_frames, test_every=4)
@@ -97,20 +131,17 @@ def main():
     Ks, Rs, Ts, stamps, is_val_list = [], [], [], [], []
     pcd, pcd_rgb, pcd_cnt = [], [], []
 
-    for fid, data in enumerate(frames_raw):
+    for fid, frame in enumerate(frames_raw):
         if fid < args.first_frame or fid > last:
             continue
         t_rel = fid - args.first_frame
-        frame = dataset_pb2.Frame()
-        frame.ParseFromString(bytearray(data.numpy()))
-        ego_to_world = np.array(frame.pose.transform).reshape(4, 4)
+        ego_to_world = frame.pose
         if ego0_inv is None:
             ego0_inv = np.linalg.inv(ego_to_world)
         ego_to_world = ego0_inv @ ego_to_world  # rebase to frame 0
         is_val = t_rel in val_set
 
-        range_images, top_pose_raw = decode_range_images(
-            frame, dataset_pb2, zlib)
+        range_images, top_pose_raw = decode_range_images(frame)
         if top_pose_raw is None:
             print(f"frame {fid}: camera-only segment, no lidar; skipped")
             continue
@@ -119,14 +150,14 @@ def main():
         top_pose = np.einsum("ij,hwjk->hwik", ego0_inv, top_pose)
 
         points = []
-        for calib in sorted(frame.context.laser_calibrations,
+        for calib in sorted(frame.laser_calibrations,
                             key=lambda c: c.name):
             if calib.name not in range_images:
                 continue
-            extrinsic = np.array(calib.extrinsic.transform).reshape(4, 4)
+            extrinsic = calib.extrinsic
             incl = (np.array(calib.beam_inclinations)[::-1].copy()
                     if len(calib.beam_inclinations) else None)
-            is_top = calib.name == dataset_pb2.LaserName.TOP
+            is_top = calib.name == wp.LASER_TOP
             points.append(lidar.range_image_to_points(
                 range_images[calib.name], extrinsic,
                 inclinations=incl,
@@ -143,7 +174,7 @@ def main():
         for img_msg in frame.images:
             if img_msg.name - 1 not in args.select_camera:
                 continue
-            calib = next(c for c in frame.context.camera_calibrations
+            calib = next(c for c in frame.camera_calibrations
                          if c.name == img_msg.name)
             image_id = len(Rs)
             img_path = os.path.join(args.dst, "image",
@@ -153,7 +184,7 @@ def main():
             intr = np.array(calib.intrinsic)
             K = np.array([[intr[0], 0, intr[2]], [0, intr[1], intr[3]],
                           [0, 0, 1.0]])
-            cam_ext = np.array(calib.extrinsic.transform).reshape(4, 4)
+            cam_ext = calib.extrinsic
             RT = lidar.camera_world_to_cam(ego_to_world, cam_ext)
             Ks.append(intr)
             Rs.append(RT[:3, :3])
