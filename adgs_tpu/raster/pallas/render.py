@@ -297,6 +297,8 @@ RM = int(_os.environ.get("ADGS_RM", "0"))
 # wins on the permute side; RM_GRAD/PR_SCATTER control that hybrid.
 RM_GRAD = int(_os.environ.get("ADGS_RM_GRAD", "0"))
 PR_SCATTER = int(_os.environ.get("ADGS_PR_SCATTER", "0"))
+# cross-program prefetch of the next tile's first instance chunk
+XPF = int(_os.environ.get("ADGS_XPF", "1"))
 LANES = 128
 
 
@@ -513,8 +515,33 @@ def _inst_dma(inst_hbm, buf, sem, start_al, rm: bool):
     return get_dma
 
 
+def _nchunks_of(tile_start, tile_count, j):
+    start = tile_start[j]
+    cnt = tile_count[j]
+    start_al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+    return start_al, jnp.where(cnt > 0,
+                               pl.cdiv(start + cnt - start_al, CHUNK), 0)
+
+
+def _prefetch_next_tile(tile_start, tile_count, inst_hbm, buf, sem, i,
+                        n_tiles: int, rm: bool):
+    """Start the NEXT tile's first instance DMA into slot 0 before this
+    program returns (the grid is sequential, all of this program's
+    instance DMAs are drained by now): removes the cold-start DMA
+    latency bubble every program otherwise pays at its first wait —
+    ~2000 programs per kernel at KITTI scale."""
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        start_al_n, nch_n = _nchunks_of(tile_start, tile_count, i + 1)
+
+        @pl.when(nch_n > 0)
+        def _():
+            _inst_dma(inst_hbm, buf, sem, start_al_n, rm)(0, 0).start()
+
+
 def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref,
-                buf, sem, *, grid_x: int, ch: int, f_cols: int, rm: bool):
+                buf, sem, *, grid_x: int, ch: int, f_cols: int, rm: bool,
+                n_tiles: int):
     i = pl.program_id(0)
     start = tile_start[i]
     cnt = tile_count[i]
@@ -530,7 +557,9 @@ def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref,
 
     get_dma = _inst_dma(inst_hbm, buf, sem, start_al, rm)
 
-    @pl.when(nchunks > 0)
+    # chunk 0 was prefetched by the PREVIOUS program (same gate: its
+    # nchunks-of-next > 0); only the first program starts its own
+    @pl.when((nchunks > 0) & (i == 0) if XPF else (nchunks > 0))
     def _():
         get_dma(0, 0).start()
 
@@ -572,6 +601,9 @@ def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref,
     def _():
         get_dma(c_end % 2, c_end).wait()
 
+    if XPF:
+        _prefetch_next_tile(tile_start, tile_count, inst_hbm, buf, sem, i,
+                            n_tiles, rm)
     out_ref[0, :ch, :] = accum
     out_ref[0, ch:ch + 1, :] = t_eff
 
@@ -579,7 +611,7 @@ def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref,
 def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
                 grad_hbm, buf, gbuf, rbuf, sem, wsem, rsem, *,
                 grid_x: int, ch: int, f_cols: int, g_cols: int, rm: bool,
-                rm_out: bool):
+                rm_out: bool, n_tiles: int):
     del zgrad_in  # aliased to grad_hbm; zeros provide the init
     i = pl.program_id(0)
     start = tile_start[i]
@@ -610,9 +642,14 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
             return grad_hbm.at[pl.ds(start_al + cc * CHUNK, CHUNK), :]
         return grad_hbm.at[:, pl.ds(start_al + cc * CHUNK, CHUNK)]
 
-    @pl.when(nchunks > 0)
+    # chunk 0 was prefetched by the PREVIOUS program (same gate); only
+    # the first program starts its own
+    @pl.when((nchunks > 0) & (i == 0) if XPF else (nchunks > 0))
     def _():
         get_dma(0, 0).start()
+
+    @pl.when(nchunks > 0)
+    def _():
         # the first output block is SHARED with the previous tile's tail
         # (both round into the same chunk tile); the grid is sequential, so
         # read-add-write keeps the neighbour's columns intact — race-free
@@ -752,6 +789,10 @@ def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
     @pl.when(c_end >= 1)
     def _():
         put_dma_end(c_end - 1).wait()
+
+    if XPF:
+        _prefetch_next_tile(tile_start, tile_count, inst_hbm, buf, sem, i,
+                            n_tiles, rm)
 
 
 SEG_BLK = 512    # gaussians per segment-reduce program
@@ -910,7 +951,7 @@ class _CompositeOut(NamedTuple):
 def _fwd_call(inst, F, tile_start, tile_count, num_tiles, grid_x, ch):
     rm = inst.ndim == 2 and inst.shape[1] == LANES and F <= LANES
     kernel = functools.partial(_fwd_kernel, grid_x=grid_x, ch=ch, f_cols=F,
-                               rm=rm)
+                               rm=rm, n_tiles=num_tiles)
     buf_shape = (2, CHUNK, LANES) if rm else (2, F, CHUNK)
     out = pl.pallas_call(
         kernel,
@@ -940,7 +981,8 @@ def _bwd_call(inst, F, tile_start, tile_count, g_all, blended_all,
     if rm_out is None:
         rm_out = rm
     kernel = functools.partial(_bwd_kernel, grid_x=grid_x, ch=ch, f_cols=F,
-                               g_cols=g_cols, rm=rm, rm_out=rm_out)
+                               g_cols=g_cols, rm=rm, rm_out=rm_out,
+                               n_tiles=num_tiles)
     buf_shape = (2, CHUNK, LANES) if rm else (2, F, CHUNK)
     gbuf_shape = (2, CHUNK, LANES) if rm_out else (2, g_cols, CHUNK)
     rbuf_shape = (CHUNK, LANES) if rm_out else (g_cols, CHUNK)
