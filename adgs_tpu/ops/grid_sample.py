@@ -38,6 +38,37 @@ def _interpret() -> bool:
 # A/B lab (exp/lab_envbwd.py) can flip it and re-jit
 ACCUM_RUNS = True
 
+# limb-split the float operand of the tap dots: the one-hot tap matrices
+# are EXACT in bf16, so 3 DEFAULT-precision passes reproduce the f32
+# product to ~2^-25 relative where HIGHEST costs 6 passes (same trick as
+# raster/pallas/render.py LIMB; helpers duplicated to keep ops/ free of
+# raster deps). Flip for A/B via exp/lab_gslimb.py.
+GS_LIMB = True
+
+
+def _limb3(x, axis: int):
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    rem = x - hi
+    mid = rem.astype(jnp.bfloat16).astype(jnp.float32)
+    return jnp.concatenate([hi, mid, rem - mid], axis=axis)
+
+
+def _limb_fold(y, n: int):
+    return y[:n] + y[n:2 * n] + y[2 * n:]
+
+
+def _tap_dot(a, b, dims):
+    """dot_general(a_float, b_exact_bf16) — limb-split tier when enabled.
+    The limbed axis is a's axis 0 (must not be a contracting dim)."""
+    if not GS_LIMB:
+        return jax.lax.dot_general(a, b, dimension_numbers=dims,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+    n = a.shape[0]
+    out = jax.lax.dot_general(_limb3(a, 0), b, dimension_numbers=dims,
+                              preferred_element_type=jnp.float32)
+    return _limb_fold(out, n)
+
 
 BH = 8      # pixels per block, rows
 BW = 32     # pixels per block, cols
@@ -193,10 +224,8 @@ def _fwd_kernel(y0s, x0s, xi_ref, yi_ref, w_ref, grid_hbm, out_ref,
         for t in range(4):
             Y, X = _onehots(xi_ref, yi_ref, y0, x0, t, Wg)
             w = w_ref[0, t].reshape(1, P)
-            tmp = jax.lax.dot_general(
-                win[c], X, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)   # [WH, P]
+            tmp = _tap_dot(
+                win[c], X, (((1,), (0,)), ((), ())))   # [WH, P]
             acc = acc + jnp.sum(Y * tmp, axis=0, keepdims=True) * w
         out_ref[0, c] = acc[0]
 
@@ -255,10 +284,8 @@ def _bwd_kernel(y0s, x0s, xi_ref, yi_ref, w_ref, g_ref, zeros_in, grid_hbm,
             Y, X = _onehots(xi_ref, yi_ref, y0, x0, t, Wg)
             w = w_ref[0, t].reshape(1, P)
             A = Y * (w * g_c)                        # [WH, P]
-            acc = acc + jax.lax.dot_general(
-                A, X, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)  # [WH, WW]
+            acc = acc + _tap_dot(
+                A, X, (((1,), (1,)), ((), ())))      # [WH, WW]
         adds.append(acc)
 
     @pl.when(jnp.logical_not(same_prev))
