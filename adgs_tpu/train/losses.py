@@ -40,6 +40,62 @@ def _bce(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return -jnp.mean(target * jnp.log(pred) + (1 - target) * jnp.log(1 - pred))
 
 
+# KNN-group gather with an MXU segment-reduce backward. Autodiff of the
+# plain gather transposes to a scatter-add of ~A*K rows into [No, D] —
+# the TPU scatter-add wall made the regularizer pair cost ~86 ms at
+# 100k x 8 groups (exp/lab_lossbwd). The custom VJP re-routes the
+# backward through the raster grad pipeline's machinery: 1-key sort of
+# the flat ids + one row gather + the per-gaussian one-hot MXU reduce
+# (segment_reduce_contiguous). Set REG_MXU = False for the autodiff
+# scatter path (A/B vehicle, exp/lab_groupvar.py).
+REG_MXU = True
+
+
+@jax.custom_vjp
+def _group_gather(values2d: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """values2d [No, D], idx [A, K] -> [A, K, D]."""
+    return jax.lax.optimization_barrier(
+        jax.lax.optimization_barrier(values2d)[
+            jax.lax.optimization_barrier(idx)])
+
+
+def _gg_fwd(values2d, idx):
+    return _group_gather(values2d, idx), (idx, values2d.shape[0])
+
+
+def _gg_bwd(res, d_g):
+    import numpy as _np
+    from ..raster.pallas.render import (SEG_C, _round8,
+                                        segment_reduce_contiguous)
+    idx, No = res
+    A, K = idx.shape
+    D = d_g.shape[-1]
+    Gc = _round8(D)
+    R = A * K
+    R_seg = -(-R // SEG_C) * SEG_C + SEG_C
+    flat = idx.reshape(R).astype(jnp.int32)
+    s, perm = jax.lax.sort((flat, jnp.arange(R, dtype=jnp.int32)),
+                           num_keys=1, is_stable=False)
+    rows = d_g.reshape(R, D)
+    if Gc != D:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((R, Gc - D), jnp.float32)], axis=1)
+    rows = jnp.concatenate([rows, jnp.zeros((1, Gc), jnp.float32)])
+    perm = jnp.concatenate([perm, jnp.full((R_seg - R,), R, jnp.int32)])
+    perm = jax.lax.optimization_barrier(perm)
+    gm = jax.lax.optimization_barrier(
+        jax.lax.optimization_barrier(rows)[perm])        # [R_seg, Gc]
+    cols = gm.T                                          # [Gc, R_seg]
+    gauss_start = jnp.searchsorted(
+        s, jnp.arange(No, dtype=jnp.int32), side="left").astype(jnp.int32)
+    per = segment_reduce_contiguous(cols, gauss_start,
+                                    jnp.int32(R), No)    # [No, Gc]
+    return per[:, :D], _np.zeros(idx.shape, jax.dtypes.float0)
+
+
+_group_gather.defvjp(_gg_fwd, _gg_bwd)
+
+
 def _group_variance_loss(values: jnp.ndarray, idx: jnp.ndarray,
                          valid: jnp.ndarray) -> jnp.ndarray:
     """mean over groups of sum(var over group members) — the KNN trajectory
@@ -49,17 +105,29 @@ def _group_variance_loss(values: jnp.ndarray, idx: jnp.ndarray,
     # barrier-isolate the gather: fused into the train step's elementwise
     # fusions it SCALARIZES (the known TPU pathology, PERF.md item 2) —
     # measured 144 ms inside the full train graph vs 0.22 ms standalone
-    # (exp/lab_trainbwd.py). The barrier's transpose isolates the backward
-    # scatter-add the same way.
-    values = jax.lax.optimization_barrier(values)
-    idx = jax.lax.optimization_barrier(idx)
-    g = jax.lax.optimization_barrier(values[idx])     # [A,K,...]
-    mean = jnp.mean(g, axis=1, keepdims=True)
-    k = idx.shape[1]
-    var = jnp.sum((g - mean) ** 2, axis=1) / jnp.maximum(k - 1, 1)  # [A,...]
+    # (exp/lab_trainbwd.py). REG_MXU additionally replaces the backward's
+    # scatter-add (the ~80 ms wall at production group counts) with the
+    # sort + MXU segment-reduce pipeline via _group_gather.
+    A = idx.shape[0]
+    if REG_MXU:
+        vflat = values.reshape(values.shape[0], -1)
+        g2 = _group_gather(vflat, idx)                # [A,K,D]
+        mean2 = jnp.mean(g2, axis=1, keepdims=True)
+        k = idx.shape[1]
+        var2 = (jnp.sum((g2 - mean2) ** 2, axis=1)
+                / jnp.maximum(k - 1, 1))              # [A,D]
+        var = var2.reshape((A,) + values.shape[1:])
+    else:
+        values = jax.lax.optimization_barrier(values)
+        idx = jax.lax.optimization_barrier(idx)
+        g = jax.lax.optimization_barrier(values[idx])     # [A,K,...]
+        mean = jnp.mean(g, axis=1, keepdims=True)
+        k = idx.shape[1]
+        var = (jnp.sum((g - mean) ** 2, axis=1)
+               / jnp.maximum(k - 1, 1))               # [A,...]
     summed = jnp.sum(var, axis=-1)                    # [A] or [A,D]
     per_group = summed.reshape(summed.shape[0], -1).mean(axis=-1)   # [A]
-    w = valid.astype(values.dtype)
+    w = valid.astype(jnp.float32)
     return jnp.sum(per_group * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
