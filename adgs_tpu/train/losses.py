@@ -46,9 +46,19 @@ def _bce(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 # 100k x 8 groups (exp/lab_lossbwd). The custom VJP re-routes the
 # backward through the raster grad pipeline's machinery: 1-key sort of
 # the flat ids + one row gather + the per-gaussian one-hot MXU reduce
-# (segment_reduce_contiguous). Set REG_MXU = False for the autodiff
-# scatter path (A/B vehicle, exp/lab_groupvar.py).
-REG_MXU = True
+# (segment_reduce_contiguous). Set ADGS_REG_MXU=1 for the MXU tier.
+#
+# DEFAULT OFF (round-4 open issue): the MXU backward is chip-validated
+# STANDALONE at exact production shapes and content — 72.8 -> 11.2 ms for
+# the regularizer pair, grads to 6e-8 (exp/lab_groupvar.py,
+# exp/repro_reg3.py: all five content arms OK) — but composed into the
+# FULL train step it hits "UNAVAILABLE: TPU device error" at 1M-gaussian
+# scale (exp/repro_reg.py; reproduces with ADGS_XPF=0, so not the
+# prefetch). Until the in-graph interaction is diagnosed, production
+# defaults to the autodiff scatter path.
+import os as _os
+
+REG_MXU = int(_os.environ.get("ADGS_REG_MXU", "0"))
 
 
 @jax.custom_vjp

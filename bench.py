@@ -176,7 +176,41 @@ def bench_train_step():
     dt = time.perf_counter() - t0
     loss = float(out[-1]["total_loss"])
     assert np.isfinite(loss), f"train bench loss not finite: {loss}"
-    return iters / dt, loss
+
+    # production-shaped variant: KNN regularizer GROUPS ACTIVE. Every
+    # reference preset trains with lambda_reg=0.5 (+ sigma regs), but the
+    # synthetic state's [1,1] near_idx makes those terms trivially cheap
+    # above — this number is the honest converged-scene step rate
+    # (obj_capacity/K anchor groups, the trainer's refresh shape).
+    # Failure-isolated: a fault here must never erase the numbers above.
+    try:
+        import dataclasses as _dc3
+        from adgs_tpu.ops import knn as knn_lib
+        k_nn = opt.near_num
+        a_cap = max(1, params.obj_capacity // k_nn)
+        idxg, validg = knn_lib.near_idx_device(
+            params.obj_xyz, state.obj_alive, jax.random.PRNGKey(7), k_nn,
+            a_cap)
+        state_reg = _dc3.replace(state, obj_near_idx=idxg,
+                                 obj_near_valid=validg)
+        out = step(params, env, opt_state, state_reg, cam, batch, rays,
+                   jnp.float32(1000), active_sh_degree=3)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            params, env, opt_state, state_reg = out[:4]
+            out = step(params, env, opt_state, state_reg, cam, batch,
+                       rays, jnp.float32(1000), active_sh_degree=3)
+        jax.block_until_ready(out)
+        dt_reg = time.perf_counter() - t0
+        loss_reg = float(out[-1]["total_loss"])
+        assert np.isfinite(loss_reg), f"reg loss not finite: {loss_reg}"
+        reg_its = iters / dt_reg
+    except Exception as e:  # noqa: BLE001 — report, don't erase
+        print(f"# reg-variant train step FAILED: {type(e).__name__}: "
+              f"{str(e)[:200]}", file=sys.stderr)
+        reg_its, loss_reg = None, float("nan")
+    return iters / dt, loss, reg_its, loss_reg
 
 
 def _bench_body(result):
@@ -321,12 +355,17 @@ def _bench_body(result):
           f"loss={float(loss):.5f}", file=sys.stderr)
     if BENCH_TRAIN:
         result["phase"] = "train_bench"
-        train_it_s, train_loss = bench_train_step()
+        train_it_s, train_loss, reg_it_s, reg_loss = bench_train_step()
         result["train_step_it_per_sec"] = round(train_it_s, 3)
         result["train_step_pixels_per_sec"] = round(
             train_it_s * WIDTH * HEIGHT, 1)
+        if reg_it_s is not None:
+            result["train_reg_it_per_sec"] = round(reg_it_s, 3)
         print(f"# train-shaped step: {train_it_s:.2f} it/s at "
-              f"{TRAIN_N_GAUSS} gaussians, loss={train_loss:.5f}",
+              f"{TRAIN_N_GAUSS} gaussians, loss={train_loss:.5f}; "
+              f"with active KNN-reg groups: "
+              f"{'%.2f it/s' % reg_it_s if reg_it_s else 'FAILED'} "
+              f"(loss={reg_loss:.5f})",
               file=sys.stderr)
     result["phase"] = "done"
 
