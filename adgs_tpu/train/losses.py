@@ -48,14 +48,17 @@ def _bce(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 # the flat ids + one row gather + the per-gaussian one-hot MXU reduce
 # (segment_reduce_contiguous). Set ADGS_REG_MXU=1 for the MXU tier.
 #
-# DEFAULT OFF (round-4 open issue): the MXU backward is chip-validated
-# STANDALONE at exact production shapes and content — 72.8 -> 11.2 ms for
-# the regularizer pair, grads to 6e-8 (exp/lab_groupvar.py,
-# exp/repro_reg3.py: all five content arms OK) — but composed into the
-# FULL train step it hits "UNAVAILABLE: TPU device error" at 1M-gaussian
-# scale (exp/repro_reg.py; reproduces with ADGS_XPF=0, so not the
-# prefetch). Until the in-graph interaction is diagnosed, production
-# defaults to the autodiff scatter path.
+# DEFAULT OFF (round-4 open issue). Evidence matrix (exp/repro_reg*.py,
+# all at the bench scale: 1M gaussians, 312.5k obj, 39k x 8 groups):
+#   MXU backward STANDALONE, exact shapes+content ... OK (5/5 arms)
+#   full train step, scatter backward ............. OK (4 steps, on chip)
+#   full train step, MXU backward ................. "UNAVAILABLE: TPU
+#       device error", DETERMINISTIC (reproduced in a healthy window;
+#       ADGS_XPF=0 unchanged, so not the prefetch)
+#   small-scale trainer end-to-end on chip ........ OK (exp/train_onchip)
+# Standalone wins 72.8 -> 11.2 ms for the pair (exp/lab_groupvar.py,
+# grads 6e-8); the in-graph composition fault is undiagnosed, so
+# production defaults to the autodiff scatter path.
 import os as _os
 
 REG_MXU = int(_os.environ.get("ADGS_REG_MXU", "0"))

@@ -32,7 +32,8 @@ print("nr", nr, "cap", cap, flush=True)
 opt = OptimizationConfig()
 step = make_train_step(cfg, opt, frame_gap=1.0/60, scene_extent=20.0,
                        cameras_extent=10.0, capacity=cap,
-                       max_per_tile=4096, chunk=64)
+                       max_per_tile=4096, chunk=64,
+                       backend=os.environ.get("RB", "auto"))
 rng = np.random.default_rng(1)
 fx = 0.5 * W / np.tan(0.6)
 K = np.array([[fx, 0, W/2], [0, fx, H/2], [0, 0, 1]], np.float32)
