@@ -55,6 +55,10 @@ def _bce(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 #   full train step, MXU backward ................. "UNAVAILABLE: TPU
 #       device error", DETERMINISTIC (reproduced in a healthy window;
 #       ADGS_XPF=0 unchanged, so not the prefetch)
+#   full step, MXU, backend=xla raster tier ....... FAULT (raster
+#       pallas kernels exonerated)
+#   reg grad + expand + env kernels in one jit .... OK (coexistence is
+#       not sufficient; needs more of the step graph — exp/repro_reg4)
 #   small-scale trainer end-to-end on chip ........ OK (exp/train_onchip)
 # Standalone wins 72.8 -> 11.2 ms for the pair (exp/lab_groupvar.py,
 # grads 6e-8); the in-graph composition fault is undiagnosed, so
