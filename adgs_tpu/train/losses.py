@@ -60,12 +60,18 @@ def _bce(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 #   reg grad + expand + env kernels in one jit .... OK (coexistence is
 #       not sufficient; needs more of the step graph — exp/repro_reg4)
 #   small-scale trainer end-to-end on chip ........ OK (exp/train_onchip)
-# Standalone wins 72.8 -> 11.2 ms for the pair (exp/lab_groupvar.py,
-# grads 6e-8); the in-graph composition fault is undiagnosed, so
-# production defaults to the autodiff scatter path.
+#   full step, sort+gather+sorted segment_sum ..... OK (exp/repro_reg5)
+# => the trigger is the segment_reduce_contiguous pallas call in the
+# full-step context specifically. Standalone wins 72.8 -> 11.2 ms for
+# the pair (exp/lab_groupvar.py, grads 6e-8).
+#
+# Tiers (ADGS_REG_MXU): 0 = autodiff scatter (always-safe reference),
+# 1 = pallas MXU segment reduce (fastest; SHELVED for in-step use),
+# 2 = sort + row gather + SORTED segment_sum (fault-free in-step; the
+#     sorted contiguous scatter-add rides the fast path) — DEFAULT.
 import os as _os
 
-REG_MXU = int(_os.environ.get("ADGS_REG_MXU", "0"))
+REG_MXU = int(_os.environ.get("ADGS_REG_MXU", "2"))
 
 
 @jax.custom_vjp
@@ -85,6 +91,10 @@ def _gg_bwd(res, d_g):
     from ..raster.pallas.render import (SEG_C, _round8,
                                         segment_reduce_contiguous)
     idx, No = res
+    # firewall the cotangent from the surrounding step graph: the in-step
+    # fault (evidence matrix above) never reproduces when d_g comes from
+    # a simple upstream, pointing at fusion across this boundary
+    d_g = jax.lax.optimization_barrier(d_g)
     A, K = idx.shape
     D = d_g.shape[-1]
     Gc = _round8(D)
@@ -94,6 +104,13 @@ def _gg_bwd(res, d_g):
     s, perm = jax.lax.sort((flat, jnp.arange(R, dtype=jnp.int32)),
                            num_keys=1, is_stable=False)
     rows = d_g.reshape(R, D)
+    if REG_MXU == 2:
+        gm = jax.lax.optimization_barrier(
+            jax.lax.optimization_barrier(rows)[
+                jax.lax.optimization_barrier(perm)])     # [R, D]
+        per = jax.ops.segment_sum(gm, s, num_segments=No,
+                                  indices_are_sorted=True)
+        return per, _np.zeros(idx.shape, jax.dtypes.float0)
     if Gc != D:
         rows = jnp.concatenate(
             [rows, jnp.zeros((R, Gc - D), jnp.float32)], axis=1)
@@ -111,8 +128,8 @@ def _gg_bwd(res, d_g):
     counts = jnp.zeros((No,), jnp.int32).at[s].add(
         jnp.ones_like(s), mode="drop", indices_are_sorted=True)
     gauss_start = (cumsum_mxu(counts) - counts).astype(jnp.int32)
-    per = segment_reduce_contiguous(cols, gauss_start,
-                                    jnp.int32(R), No)    # [No, Gc]
+    per = jax.lax.optimization_barrier(segment_reduce_contiguous(
+        cols, gauss_start, jnp.int32(R), No))            # [No, Gc]
     return per[:, :D], _np.zeros(idx.shape, jax.dtypes.float0)
 
 
@@ -132,7 +149,7 @@ def _group_variance_loss(values: jnp.ndarray, idx: jnp.ndarray,
     # scatter-add (the ~80 ms wall at production group counts) with the
     # sort + MXU segment-reduce pipeline via _group_gather.
     A = idx.shape[0]
-    if REG_MXU:
+    if REG_MXU in (1, 2):
         vflat = values.reshape(values.shape[0], -1)
         g2 = _group_gather(vflat, idx)                # [A,K,D]
         mean2 = jnp.mean(g2, axis=1, keepdims=True)

@@ -74,7 +74,7 @@ def main():
         return jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
 
     arms, grads = {}, {}
-    for name, m in (("scatter", False), ("mxu", True)):
+    for name, m in (("scatter", 0), ("mxu", 1), ("sorted_ss", 2)):
         f = make_arm(m)
         l, g = f(deform, sigma)
         arms[name] = f
@@ -82,7 +82,7 @@ def main():
         print(f"arm {name} compiled, loss={float(l):.6f}", flush=True)
 
     l0, g0 = grads["scatter"]
-    l1, g1 = grads["mxu"]
+    l1, g1 = grads["sorted_ss"]
     rel = max(
         float(jnp.max(jnp.abs(a - b))) / (float(jnp.max(jnp.abs(a))) + 1e-30)
         for a, b in zip(g0, g1))
