@@ -136,16 +136,18 @@ def compiled_parity_check():
     prev = loss_lib.REG_MXU
     grads_by_tier = {}
     try:
-        for tier in (0, 1):
+        for tier in (0, 1, 2):
             loss_lib.REG_MXU = tier
             grads_by_tier[tier] = np.asarray(jax.jit(jax.grad(
                 lambda v: loss_lib._group_variance_loss(
                     v, g_idx, g_valid)))(vals))
     finally:
         loss_lib.REG_MXU = prev
-    np.testing.assert_allclose(
-        grads_by_tier[1], grads_by_tier[0], rtol=1e-4, atol=1e-7,
-        err_msg="group-variance MXU vs scatter grad mismatch (compiled)")
+    for tier in (1, 2):
+        np.testing.assert_allclose(
+            grads_by_tier[tier], grads_by_tier[0], rtol=1e-4, atol=1e-7,
+            err_msg=f"group-variance tier {tier} vs scatter grad "
+                    "mismatch (compiled)")
 
     print("# compiled parity: pallas==xla raster (image+grad), "
           "env fast==generic (fwd+bwd, seam), "
