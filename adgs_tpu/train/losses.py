@@ -171,6 +171,55 @@ def _group_variance_loss(values: jnp.ndarray, idx: jnp.ndarray,
     return jnp.sum(per_group * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
+def _group_variance_pair(values_a, values_b, idx, valid):
+    """Both KNN regularizers through ONE gather + ONE backward: the
+    flattened columns concatenate (losses/grads identical to two separate
+    calls — per-column math is independent). Besides halving the
+    sort/reduce work, the single-instance form is the one the in-step
+    MXU tier is chip-validated for (two segment-reduce instances in the
+    full step fault; one is fine — exp/repro_reg6)."""
+    if not REG_MXU:
+        return (_group_variance_loss(values_a, idx, valid),
+                _group_variance_loss(values_b, idx, valid))
+    A = idx.shape[0]
+    fa = values_a.reshape(values_a.shape[0], -1)
+    fb = values_b.reshape(values_b.shape[0], -1)
+    wa = fa.shape[1]
+    g2 = _group_gather(jnp.concatenate([fa, fb], axis=1), idx)
+    mean2 = jnp.mean(g2, axis=1, keepdims=True)
+    k = idx.shape[1]
+    var2 = jnp.sum((g2 - mean2) ** 2, axis=1) / jnp.maximum(k - 1, 1)
+    out = []
+    for v, sl in ((values_a, var2[:, :wa]), (values_b, var2[:, wa:])):
+        var = sl.reshape((A,) + v.shape[1:])
+        summed = jnp.sum(var, axis=-1)
+        per_group = summed.reshape(summed.shape[0], -1).mean(axis=-1)
+        w = valid.astype(jnp.float32)
+        out.append(jnp.sum(per_group * w) / jnp.maximum(jnp.sum(w), 1.0))
+    return tuple(out)
+
+
+def _knn_reg_losses(params: GaussianParams, state: GaussianState,
+                    opt: OptimizationConfig) -> dict:
+    """The active KNN-variance regularizers, fused into one gather when
+    both are on (the reference presets' default)."""
+    want_r = opt.lambda_reg > 0.0
+    want_s = opt.lambda_sigma > 0.0 and opt.lambda_sigma_reg > 0.0
+    out: dict = {}
+    if want_r and want_s:
+        rg, sr = _group_variance_pair(
+            params.xyz_deform, params.gs_time_sigma,
+            state.obj_near_idx, state.obj_near_valid)
+        out["reg_loss"], out["sigma_reg_loss"] = rg, sr
+    elif want_r:
+        out["reg_loss"] = _group_variance_loss(
+            params.xyz_deform, state.obj_near_idx, state.obj_near_valid)
+    elif want_s:
+        out["sigma_reg_loss"] = _group_variance_loss(
+            params.gs_time_sigma, state.obj_near_idx, state.obj_near_valid)
+    return out
+
+
 def gaussian_term_losses(
     params: GaussianParams,
     state: GaussianState,
@@ -182,12 +231,9 @@ def gaussian_term_losses(
     (parallel/shard.py) can compute image terms per device and add these
     once on replicated parameters."""
     total = jnp.float32(0.0)
-    logs: dict = {}
-    if opt.lambda_reg > 0.0:
-        rg = _group_variance_loss(params.xyz_deform, state.obj_near_idx,
-                                  state.obj_near_valid)
-        total = total + opt.lambda_reg * rg
-        logs["reg_loss"] = rg
+    logs: dict = dict(_knn_reg_losses(params, state, opt))
+    if "reg_loss" in logs:
+        total = total + opt.lambda_reg * logs["reg_loss"]
     if opt.lambda_sigma > 0.0:
         sigma = jnp.exp(params.gs_time_sigma)
         alive = state.obj_alive.astype(jnp.float32)
@@ -195,12 +241,8 @@ def gaussian_term_losses(
         sg = jnp.sum(per * alive) / jnp.maximum(jnp.sum(alive), 1.0)
         total = total + opt.lambda_sigma * sg
         logs["sigma_loss"] = sg
-        if opt.lambda_sigma_reg > 0.0:
-            sr = _group_variance_loss(params.gs_time_sigma,
-                                      state.obj_near_idx,
-                                      state.obj_near_valid)
-            total = total + opt.lambda_sigma_reg * sr
-            logs["sigma_reg_loss"] = sr
+        if "sigma_reg_loss" in logs:
+            total = total + opt.lambda_sigma_reg * logs["sigma_reg_loss"]
     return total, logs
 
 
@@ -250,11 +292,10 @@ def compute_losses(
         total = total + opt.lambda_sky * sk
         logs["sky_loss"] = sk
 
-    if opt.lambda_reg > 0.0:
-        rg = _group_variance_loss(params.xyz_deform, state.obj_near_idx,
-                                  state.obj_near_valid)
-        total = total + opt.lambda_reg * rg
-        logs["reg_loss"] = rg
+    reg_logs = _knn_reg_losses(params, state, opt)
+    logs.update(reg_logs)
+    if "reg_loss" in reg_logs:
+        total = total + opt.lambda_reg * reg_logs["reg_loss"]
 
     if opt.lambda_sigma > 0.0:
         sigma = jnp.exp(params.gs_time_sigma)
@@ -263,11 +304,8 @@ def compute_losses(
         sg = jnp.sum(per * alive) / jnp.maximum(jnp.sum(alive), 1.0)
         total = total + opt.lambda_sigma * sg
         logs["sigma_loss"] = sg
-        if opt.lambda_sigma_reg > 0.0:
-            sr = _group_variance_loss(params.gs_time_sigma, state.obj_near_idx,
-                                      state.obj_near_valid)
-            total = total + opt.lambda_sigma_reg * sr
-            logs["sigma_reg_loss"] = sr
+        if "sigma_reg_loss" in reg_logs:
+            total = total + opt.lambda_sigma_reg * reg_logs["sigma_reg_loss"]
 
     logs["total_loss"] = total
     return total, logs
