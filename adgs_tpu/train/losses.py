@@ -61,6 +61,10 @@ def _bce(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 #       not sufficient; needs more of the step graph — exp/repro_reg4)
 #   small-scale trainer end-to-end on chip ........ OK (exp/train_onchip)
 #   full step, sort+gather+sorted segment_sum ..... OK (exp/repro_reg5)
+#   full step, ONE MXU instance (xyz-only or sigma-only) OK; BOTH
+#       instances, or the fused Gc=104 single instance .. FAULT
+#       (exp/repro_reg6, repro_reg_pair1b — so instance count alone is
+#       not the whole story either)
 # => the trigger is the segment_reduce_contiguous pallas call in the
 # full-step context specifically. Standalone wins 72.8 -> 11.2 ms for
 # the pair (exp/lab_groupvar.py, grads 6e-8).
