@@ -22,6 +22,67 @@ from tests import scene_fixtures as fx
 from tests.test_models_ops import tiny_model
 
 
+class TestGroupVarianceTiers:
+    """The KNN-regularizer backward tiers (losses.REG_MXU 0/1/2) and the
+    two-regularizer pair fusion must agree bitwise with the autodiff
+    scatter reference in interpret mode (the compiled check lives in
+    scripts/compiled_parity.py)."""
+
+    def _inputs(self, rng):
+        No, A, K = 70, 9, 4
+        xyz = jnp.asarray(rng.uniform(size=(No, 3, 5)), jnp.float32)
+        sig = jnp.asarray(rng.uniform(size=(No, 2)), jnp.float32)
+        idx = jnp.asarray(
+            np.random.default_rng(1).integers(0, No, (A, K)), jnp.int32)
+        valid = jnp.asarray(np.random.default_rng(2).random(A) < 0.8)
+        return xyz, sig, idx, valid
+
+    @pytest.mark.parametrize("tier", [1, 2])
+    def test_tier_matches_scatter(self, rng, tier):
+        from adgs_tpu.train import losses as L
+        xyz, sig, idx, valid = self._inputs(rng)
+        prev = L.REG_MXU
+        try:
+            L.REG_MXU = 0
+            l0 = float(L._group_variance_loss(xyz, idx, valid))
+            g0 = jax.grad(
+                lambda v: L._group_variance_loss(v, idx, valid))(xyz)
+            L.REG_MXU = tier
+            l1 = float(L._group_variance_loss(xyz, idx, valid))
+            g1 = jax.grad(
+                lambda v: L._group_variance_loss(v, idx, valid))(xyz)
+        finally:
+            L.REG_MXU = prev
+        assert l0 == pytest.approx(l1, abs=1e-6)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   rtol=1e-6, atol=1e-8)
+
+    @pytest.mark.parametrize("tier", [1, 2])
+    def test_pair_fusion_matches_separate(self, rng, tier):
+        from adgs_tpu.train import losses as L
+        xyz, sig, idx, valid = self._inputs(rng)
+        prev = L.REG_MXU
+        try:
+            L.REG_MXU = tier
+            ra, sa = L._group_variance_pair(xyz, sig, idx, valid)
+            r0 = L._group_variance_loss(xyz, idx, valid)
+            s0 = L._group_variance_loss(sig, idx, valid)
+            ga = jax.grad(
+                lambda x, s: sum(L._group_variance_pair(x, s, idx, valid)),
+                argnums=(0, 1))(xyz, sig)
+            g0 = (jax.grad(
+                      lambda x: L._group_variance_loss(x, idx, valid))(xyz),
+                  jax.grad(
+                      lambda s: L._group_variance_loss(s, idx, valid))(sig))
+        finally:
+            L.REG_MXU = prev
+        assert float(ra) == pytest.approx(float(r0), abs=1e-6)
+        assert float(sa) == pytest.approx(float(s0), abs=1e-6)
+        for a, b in zip(ga, g0):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-8)
+
+
 class TestAdam:
     def test_matches_torch_adam(self, rng):
         import torch
