@@ -69,6 +69,9 @@ def main():
         losses.REG_MXU = mxu
 
         def loss(d, s):
+            if mxu:
+                ra, sa = losses._group_variance_pair(d, s, idx, valid)
+                return ra + sa
             return (losses._group_variance_loss(d, idx, valid)
                     + losses._group_variance_loss(s, idx, valid))
         return jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
