@@ -26,6 +26,30 @@ def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
     return np.outer(g, g).astype(np.float32)
 
 
+# shifted-add tier for the separable filter: XLA's TPU depthwise-conv
+# lowering (feature_group_count=C) is far off the VPU roofline; the same
+# 1-D taps as STATIC-slice weighted sums fuse into one elementwise pass
+# per axis. False restores conv_general_dilated (A/B, exp/lab_ssim.py).
+SSIM_SHIFT = True
+
+
+def _sep_pass(img: jnp.ndarray, axis: int, window_size: int) -> jnp.ndarray:
+    """One 1-D Gaussian pass along `axis` via zero-pad + static slices."""
+    g = _gaussian_1d(window_size)
+    half = window_size // 2
+    pads = [(0, 0)] * img.ndim
+    pads[axis] = (half, half)
+    padded = jnp.pad(img, pads)
+    n = img.shape[axis]
+    sl = [slice(None)] * img.ndim
+    acc = None
+    for k in range(window_size):
+        sl[axis] = slice(k, k + n)
+        term = float(g[k]) * padded[tuple(sl)]
+        acc = term if acc is None else acc + term
+    return acc
+
+
 def _depthwise_filter(img: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
     """[B, C, H, W] same-(zero-)padded per-channel 11x11 Gaussian filter.
 
@@ -34,6 +58,8 @@ def _depthwise_filter(img: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
     (11+11 taps instead of 121) produce the same result — and the batched
     quantities (img1, img2, img1^2, img2^2, img1*img2) ride one conv pair.
     """
+    if SSIM_SHIFT:
+        return _sep_pass(_sep_pass(img, 2, window_size), 3, window_size)
     C = img.shape[1]
     g = jnp.asarray(_gaussian_1d(window_size))
     kv = jnp.broadcast_to(g[None, None, :, None], (C, 1, window_size, 1))
