@@ -66,6 +66,14 @@ import os as _os
 # instances per DMA block (env override for perf sweeps; capacity is
 # 4096-quantized so any power of two <= 4096 divides it)
 CHUNK = int(_os.environ.get("ADGS_PALLAS_CHUNK", 256))
+# tiles per Pallas program (fwd + bwd). Each grid step costs ~3.3 us of
+# pipeline bubble (Mosaic prologue, scalar fetches, output-block DMA sync)
+# against a mean occupancy of only ~2 instance chunks per tile at KITTI
+# scale (~2900 tiles x 2 kernels ~= 19 ms/step, PERF.md round-4 profile);
+# batching KTILE tile ranges into one program with an in-kernel loop
+# amortizes that bubble KTILE-x. The tile grid is padded to a KTILE
+# multiple with empty (count 0) tiles.
+KTILE = int(_os.environ.get("ADGS_KTILE", 1))
 # matmul precision for FLOAT-VALUE dots (powers, feature accum, gradient
 # moments, segment reduce): "high" = bf16x3 (~2^-21 relative error, half
 # the MXU passes of "highest"). Integer-exact tables (binning cumsum,
@@ -541,258 +549,293 @@ def _prefetch_next_tile(tile_start, tile_count, inst_hbm, buf, sem, i,
 
 def _fwd_kernel(tile_start, tile_count, inst_hbm, out_ref,
                 buf, sem, *, grid_x: int, ch: int, f_cols: int, rm: bool,
-                n_tiles: int):
-    i = pl.program_id(0)
-    start = tile_start[i]
-    cnt = tile_count[i]
-    # window-covering DMA: round the start down to the chunk tile (Mosaic
-    # needs provably aligned dynamic lane starts); head columns belong to
-    # the previous tile and are gated out by their global index below
-    start_al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
-    u, v, ox, oy = _tile_uv(i, grid_x)
+                n_tiles: int, ktile: int):
+    p0 = pl.program_id(0) * ktile
+    # the pixel basis is TILE-LOCAL — identical for every tile; only the
+    # origin scalars (ox, oy) vary inside the tile loop
+    pix = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    u = (pix % TILE_X).astype(jnp.float32)
+    v = (pix // TILE_X).astype(jnp.float32)
     basis = _basis(u, v)
     sub = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
 
-    nchunks = jnp.where(cnt > 0, pl.cdiv(start + cnt - start_al, CHUNK), 0)
+    def tile_body(t, carry):
+        i = p0 + t
+        start = tile_start[i]
+        cnt = tile_count[i]
+        # window-covering DMA: round the start down to the chunk tile
+        # (Mosaic needs provably aligned dynamic lane starts); head columns
+        # belong to the previous tile and are gated out by their global
+        # index below
+        start_al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+        ox = ((i % grid_x) * TILE_X).astype(jnp.float32)
+        oy = ((i // grid_x) * TILE_Y).astype(jnp.float32)
 
-    get_dma = _inst_dma(inst_hbm, buf, sem, start_al, rm)
+        nchunks = jnp.where(cnt > 0,
+                            pl.cdiv(start + cnt - start_al, CHUNK), 0)
 
-    # chunk 0 was prefetched by the PREVIOUS program (same gate: its
-    # nchunks-of-next > 0); only the first program starts its own
-    @pl.when((nchunks > 0) & (i == 0) if XPF else (nchunks > 0))
-    def _():
-        get_dma(0, 0).start()
+        get_dma = _inst_dma(inst_hbm, buf, sem, start_al, rm)
 
-    def cond(state):
-        c, t_raw, _, _ = state
-        return (c < nchunks) & (jnp.max(t_raw) >= T_EPS)
-
-    def body(state):
-        c, t_raw, t_eff, accum = state
-
-        @pl.when(c + 1 < nchunks)
+        # chunk 0 was prefetched at the END of the previous tile (previous
+        # loop iteration, or the previous program's last tile — the grid is
+        # sequential); only the very first tile starts its own
+        @pl.when((nchunks > 0) & (i == 0) if XPF else (nchunks > 0))
         def _():
-            get_dma((c + 1) % 2, c + 1).start()
+            get_dma(0, 0).start()
 
-        get_dma(c % 2, c).wait()
-        # row-major blocks transpose ONCE in VMEM so every downstream op
-        # keeps the measured [*, CHUNK] lane-major layouts
-        geom = buf[c % 2].T if rm else buf[c % 2]          # [F|LANES, CHUNK]
-        pos = sub + (start_al + c * CHUNK)                 # [CHUNK, 1]
-        valid = (pos >= start) & (pos < start + cnt)
-        coef_op, coef_p, _ = _coefs(geom, ox, oy)
-        powerop, power = _powers(coef_op, coef_p, basis)    # [CHUNK, P] x2
-        alpha = _alpha_from_powers(powerop, power, valid)
-        w, t_raw, t_eff, _ = _chunk_weights(alpha, t_raw, t_eff)
-        feats = geom[F_GEOM:F_GEOM + ch, :]                # [CHo, CHUNK]
-        accum = accum + _dot_f3(
-            feats, w, (((1,), (0,)), ((), ())))            # [CHo, P]
-        return c + 1, t_raw, t_eff, accum
+        def cond(state):
+            c, t_raw, _, _ = state
+            return (c < nchunks) & (jnp.max(t_raw) >= T_EPS)
 
-    init = (jnp.int32(0),
-            jnp.ones((1, P), jnp.float32),
-            jnp.ones((1, P), jnp.float32),
-            jnp.zeros((ch, P), jnp.float32))
-    c_end, _, t_eff, accum = jax.lax.while_loop(cond, body, init)
+        def body(state):
+            c, t_raw, t_eff, accum = state
 
-    # early exit leaves one prefetched DMA in flight; drain it so the
-    # scratch semaphore is clean for the next grid step
-    @pl.when(c_end < nchunks)
-    def _():
-        get_dma(c_end % 2, c_end).wait()
+            @pl.when(c + 1 < nchunks)
+            def _():
+                get_dma((c + 1) % 2, c + 1).start()
 
-    if XPF:
-        _prefetch_next_tile(tile_start, tile_count, inst_hbm, buf, sem, i,
-                            n_tiles, rm)
-    out_ref[0, :ch, :] = accum
-    out_ref[0, ch:ch + 1, :] = t_eff
+            get_dma(c % 2, c).wait()
+            # row-major blocks transpose ONCE in VMEM so every downstream
+            # op keeps the measured [*, CHUNK] lane-major layouts
+            geom = buf[c % 2].T if rm else buf[c % 2]      # [F|LANES, CHUNK]
+            pos = sub + (start_al + c * CHUNK)             # [CHUNK, 1]
+            valid = (pos >= start) & (pos < start + cnt)
+            coef_op, coef_p, _ = _coefs(geom, ox, oy)
+            powerop, power = _powers(coef_op, coef_p, basis)  # [CHUNK, P] x2
+            alpha = _alpha_from_powers(powerop, power, valid)
+            w, t_raw, t_eff, _ = _chunk_weights(alpha, t_raw, t_eff)
+            feats = geom[F_GEOM:F_GEOM + ch, :]            # [CHo, CHUNK]
+            accum = accum + _dot_f3(
+                feats, w, (((1,), (0,)), ((), ())))        # [CHo, P]
+            return c + 1, t_raw, t_eff, accum
+
+        init = (jnp.int32(0),
+                jnp.ones((1, P), jnp.float32),
+                jnp.ones((1, P), jnp.float32),
+                jnp.zeros((ch, P), jnp.float32))
+        c_end, _, t_eff, accum = jax.lax.while_loop(cond, body, init)
+
+        # early exit leaves one prefetched DMA in flight; drain it so the
+        # scratch semaphore is clean for the next tile
+        @pl.when(c_end < nchunks)
+        def _():
+            get_dma(c_end % 2, c_end).wait()
+
+        if XPF:
+            _prefetch_next_tile(tile_start, tile_count, inst_hbm, buf, sem,
+                                i, n_tiles, rm)
+        out_ref[t, :ch, :] = accum
+        out_ref[t, ch:ch + 1, :] = t_eff
+        return carry
+
+    if ktile == 1:
+        tile_body(0, 0)
+    else:
+        jax.lax.fori_loop(0, ktile, tile_body, 0)
 
 
 def _bwd_kernel(tile_start, tile_count, inst_hbm, zgrad_in, g_ref, blend_ref,
                 grad_hbm, buf, gbuf, rbuf, sem, wsem, rsem, *,
                 grid_x: int, ch: int, f_cols: int, g_cols: int, rm: bool,
-                rm_out: bool, n_tiles: int):
+                rm_out: bool, n_tiles: int, ktile: int):
     del zgrad_in  # aliased to grad_hbm; zeros provide the init
-    i = pl.program_id(0)
-    start = tile_start[i]
-    cnt = tile_count[i]
-    start_al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
-    u, v, ox, oy = _tile_uv(i, grid_x)
+    p0 = pl.program_id(0) * ktile
+    pix = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    u = (pix % TILE_X).astype(jnp.float32)
+    v = (pix // TILE_X).astype(jnp.float32)
     basis = _basis(u, v)
     sub = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
 
-    g = g_ref[0]                   # [CH+1, P] cotangents (features + final_t)
-    blended = blend_ref[0]         # [CH+1, P] forward outputs
-    t_final = blended[ch:ch + 1, :]          # [1, P]
-    g_t = g[ch:ch + 1, :]                    # [1, P]
-    # A = sum_k b_k  per pixel: sum over channels of blended*g
-    a_dot_g = jnp.sum(blended[:ch, :] * g[:ch, :], axis=0, keepdims=True)
-    gt_tfin = g_t * t_final                  # [1, P]
+    def tile_main(t, carry):
+        i = p0 + t
+        start = tile_start[i]
+        cnt = tile_count[i]
+        start_al = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+        ox = ((i % grid_x) * TILE_X).astype(jnp.float32)
+        oy = ((i // grid_x) * TILE_Y).astype(jnp.float32)
 
-    nchunks = jnp.where(cnt > 0, pl.cdiv(start + cnt - start_al, CHUNK), 0)
+        g = g_ref[t]               # [CH+1, P] cotangents (features + final_t)
+        blended = blend_ref[t]     # [CH+1, P] forward outputs
+        t_final = blended[ch:ch + 1, :]          # [1, P]
+        g_t = g[ch:ch + 1, :]                    # [1, P]
+        # A = sum_k b_k  per pixel: sum over channels of blended*g
+        a_dot_g = jnp.sum(blended[:ch, :] * g[:ch, :], axis=0, keepdims=True)
+        gt_tfin = g_t * t_final                  # [1, P]
 
-    def cond(state):
-        c, t_raw, _, _ = state
-        return (c < nchunks) & (jnp.max(t_raw) >= T_EPS)
+        nchunks = jnp.where(cnt > 0,
+                            pl.cdiv(start + cnt - start_al, CHUNK), 0)
 
-    get_dma = _inst_dma(inst_hbm, buf, sem, start_al, rm)
+        def cond(state):
+            c, t_raw, _, _ = state
+            return (c < nchunks) & (jnp.max(t_raw) >= T_EPS)
 
-    def grad_slice(cc):
-        if rm_out:
-            return grad_hbm.at[pl.ds(start_al + cc * CHUNK, CHUNK), :]
-        return grad_hbm.at[:, pl.ds(start_al + cc * CHUNK, CHUNK)]
+        get_dma = _inst_dma(inst_hbm, buf, sem, start_al, rm)
 
-    # chunk 0 was prefetched by the PREVIOUS program (same gate); only
-    # the first program starts its own
-    @pl.when((nchunks > 0) & (i == 0) if XPF else (nchunks > 0))
-    def _():
-        get_dma(0, 0).start()
+        def grad_slice(cc):
+            if rm_out:
+                return grad_hbm.at[pl.ds(start_al + cc * CHUNK, CHUNK), :]
+            return grad_hbm.at[:, pl.ds(start_al + cc * CHUNK, CHUNK)]
 
-    @pl.when(nchunks > 0)
-    def _():
-        # the first output block is SHARED with the previous tile's tail
-        # (both round into the same chunk tile); the grid is sequential, so
-        # read-add-write keeps the neighbour's columns intact — race-free
-        pltpu.make_async_copy(grad_slice(0), rbuf, rsem).start()
-
-    def body(state):
-        c, t_raw, t_eff, prefix = state
-
-        @pl.when(c + 1 < nchunks)
+        # chunk 0 was prefetched at the END of the previous tile (previous
+        # loop iteration or previous program); only the first tile starts
+        # its own
+        @pl.when((nchunks > 0) & (i == 0) if XPF else (nchunks > 0))
         def _():
-            get_dma((c + 1) % 2, c + 1).start()
+            get_dma(0, 0).start()
 
-        get_dma(c % 2, c).wait()
-        geom = buf[c % 2].T if rm else buf[c % 2]          # [F|LANES, CHUNK]
-        pos = sub + (start_al + c * CHUNK)
-        valid = (pos >= start) & (pos < start + cnt)
-        coef_op, coef_p, (mx, my, ca, cb, cc) = _coefs(geom, ox, oy)
-        powerop, power = _powers(coef_op, coef_p, basis)    # [CHUNK, P] x2
-        alpha = _alpha_from_powers(powerop, power, valid)
-        w, new_raw, new_eff, (a_eff, t_excl, include) = _chunk_weights(
-            alpha, t_raw, t_eff)
+        @pl.when(nchunks > 0)
+        def _():
+            # the first output block is SHARED with the previous tile's
+            # tail (both round into the same chunk tile); tiles run
+            # sequentially and each drains its writes before returning, so
+            # read-add-write keeps the neighbour's columns intact —
+            # race-free
+            pltpu.make_async_copy(grad_slice(0), rbuf, rsem).start()
 
-        feats = geom[F_GEOM:F_GEOM + ch, :]                # [CHo, CHUNK]
-        # fg[j, pix] = f_j . g  -> [CHUNK, P]
-        fg = _dot_f3(feats, g[:ch, :], (((0,), (0,)), ((), ())))
-        b = w * fg
-        if SCAN == "mxu":
-            prefix_incl = _mxu_prefix(_tri_incl(b.shape[0]), b) + prefix
-        else:
-            prefix_incl = _sub_cumsum(b) + prefix
-        inv1m = 1.0 / (1.0 - a_eff)
-        # dT_final/dalpha_j = -T_final/(1-alpha_j): the kernel's T output
-        # is the transmittance itself (the wrapper forms opacity = 1 - T)
-        d_alpha = (t_excl * fg
-                   - (a_dot_g - prefix_incl) * inv1m
-                   - gt_tfin * inv1m)
-        d_alpha = jnp.where(include & (alpha > 0.0), d_alpha, 0.0)
-        # zero where the 0.99 clamp was active; alpha == exp(powerop) on the
-        # surviving (unclamped) path, so d_powerop = d_alpha * alpha exactly
-        d_powerop = jnp.where(powerop < LOG_ALPHA_MAX, d_alpha * alpha, 0.0)
+        def body(state):
+            c, t_raw, t_eff, prefix = state
 
-        # ALL geometry gradients from one moment matmul:
-        # MT[k, j] = sum_pix basis_k * d_powerop[j]  -> [8, CHUNK]
-        if LIMB:
-            MT = jax.lax.dot_general(
-                basis, _limb3(d_powerop, 0),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)        # [8, 3*CHUNK]
-            MT = _limb_sum(MT, 1, d_powerop.shape[0])
-        else:
-            MT = jax.lax.dot_general(
-                basis, d_powerop,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=MM_PREC)
-        d_c0 = MT[0:1, :]
-        d_c1 = MT[1:2, :]
-        d_c2 = MT[2:3, :]
-        d_c3 = MT[3:4, :]
-        d_c4 = MT[4:5, :]
-        d_c5 = MT[5:6, :]
-        d_lo = MT[6:7, :]
-        # chain through the tile-local coefficient jacobian ([1,CHUNK] ops)
-        c3 = ca * mx + cb * my
-        c4 = cc * my + cb * mx
-        d_mx = ca * d_c3 + cb * d_c4 - c3 * d_c5
-        d_my = cb * d_c3 + cc * d_c4 - c4 * d_c5
-        d_ca = -0.5 * d_c0 + mx * d_c3 - 0.5 * mx * mx * d_c5
-        d_cb = -d_c1 + my * d_c3 + mx * d_c4 - mx * my * d_c5
-        d_cc = -0.5 * d_c2 + my * d_c4 - 0.5 * my * my * d_c5
-        # dL/df_j = sum_pix w * g_ch  -> [CHo, CHUNK]
-        d_feat = _dot_f3(g[:ch, :], w, (((1,), (1,)), ((), ())))
+            @pl.when(c + 1 < nchunks)
+            def _():
+                get_dma((c + 1) % 2, c + 1).start()
 
-        grows = jnp.concatenate(
-            [d_mx, d_my, d_ca, d_cb, d_cc, d_lo, d_feat], axis=0)
-        if rm_out:
-            # emit ROW-major [CHUNK, LANES] so the downstream permute rides
-            # the 128-lane gather fast path with no boundary transpose
-            growsT = grows.T                               # [CHUNK, cols]
+            get_dma(c % 2, c).wait()
+            geom = buf[c % 2].T if rm else buf[c % 2]          # [F|LANES, CHUNK]
+            pos = sub + (start_al + c * CHUNK)
+            valid = (pos >= start) & (pos < start + cnt)
+            coef_op, coef_p, (mx, my, ca, cb, cc) = _coefs(geom, ox, oy)
+            powerop, power = _powers(coef_op, coef_p, basis)    # [CHUNK, P] x2
+            alpha = _alpha_from_powers(powerop, power, valid)
+            w, new_raw, new_eff, (a_eff, t_excl, include) = _chunk_weights(
+                alpha, t_raw, t_eff)
+
+            feats = geom[F_GEOM:F_GEOM + ch, :]                # [CHo, CHUNK]
+            # fg[j, pix] = f_j . g  -> [CHUNK, P]
+            fg = _dot_f3(feats, g[:ch, :], (((0,), (0,)), ((), ())))
+            b = w * fg
+            if SCAN == "mxu":
+                prefix_incl = _mxu_prefix(_tri_incl(b.shape[0]), b) + prefix
+            else:
+                prefix_incl = _sub_cumsum(b) + prefix
+            inv1m = 1.0 / (1.0 - a_eff)
+            # dT_final/dalpha_j = -T_final/(1-alpha_j): the kernel's T output
+            # is the transmittance itself (the wrapper forms opacity = 1 - T)
+            d_alpha = (t_excl * fg
+                       - (a_dot_g - prefix_incl) * inv1m
+                       - gt_tfin * inv1m)
+            d_alpha = jnp.where(include & (alpha > 0.0), d_alpha, 0.0)
+            # zero where the 0.99 clamp was active; alpha == exp(powerop) on the
+            # surviving (unclamped) path, so d_powerop = d_alpha * alpha exactly
+            d_powerop = jnp.where(powerop < LOG_ALPHA_MAX, d_alpha * alpha, 0.0)
+
+            # ALL geometry gradients from one moment matmul:
+            # MT[k, j] = sum_pix basis_k * d_powerop[j]  -> [8, CHUNK]
+            if LIMB:
+                MT = jax.lax.dot_general(
+                    basis, _limb3(d_powerop, 0),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)        # [8, 3*CHUNK]
+                MT = _limb_sum(MT, 1, d_powerop.shape[0])
+            else:
+                MT = jax.lax.dot_general(
+                    basis, d_powerop,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=MM_PREC)
+            d_c0 = MT[0:1, :]
+            d_c1 = MT[1:2, :]
+            d_c2 = MT[2:3, :]
+            d_c3 = MT[3:4, :]
+            d_c4 = MT[4:5, :]
+            d_c5 = MT[5:6, :]
+            d_lo = MT[6:7, :]
+            # chain through the tile-local coefficient jacobian ([1,CHUNK] ops)
+            c3 = ca * mx + cb * my
+            c4 = cc * my + cb * mx
+            d_mx = ca * d_c3 + cb * d_c4 - c3 * d_c5
+            d_my = cb * d_c3 + cc * d_c4 - c4 * d_c5
+            d_ca = -0.5 * d_c0 + mx * d_c3 - 0.5 * mx * mx * d_c5
+            d_cb = -d_c1 + my * d_c3 + mx * d_c4 - mx * my * d_c5
+            d_cc = -0.5 * d_c2 + my * d_c4 - 0.5 * my * my * d_c5
+            # dL/df_j = sum_pix w * g_ch  -> [CHo, CHUNK]
+            d_feat = _dot_f3(g[:ch, :], w, (((1,), (1,)), ((), ())))
+
             grows = jnp.concatenate(
-                [growsT, jnp.zeros((CHUNK, LANES - growsT.shape[1]),
-                                   jnp.float32)], axis=1)
-        else:
-            pad_rows = g_cols - grows.shape[0]
-            if pad_rows > 0:
+                [d_mx, d_my, d_ca, d_cb, d_cc, d_lo, d_feat], axis=0)
+            if rm_out:
+                # emit ROW-major [CHUNK, LANES] so the downstream permute rides
+                # the 128-lane gather fast path with no boundary transpose
+                growsT = grows.T                               # [CHUNK, cols]
                 grows = jnp.concatenate(
-                    [grows, jnp.zeros((pad_rows, CHUNK), jnp.float32)],
-                    axis=0)
+                    [growsT, jnp.zeros((CHUNK, LANES - growsT.shape[1]),
+                                       jnp.float32)], axis=1)
+            else:
+                pad_rows = g_cols - grows.shape[0]
+                if pad_rows > 0:
+                    grows = jnp.concatenate(
+                        [grows, jnp.zeros((pad_rows, CHUNK), jnp.float32)],
+                        axis=0)
 
-        # double-buffered grad writes: drain the write issued two chunks
-        # ago on this slot before overwriting it, then fire-and-forget —
-        # a write wait per chunk serializes the loop on the DMA latency
-        s = c % 2
+            # double-buffered grad writes: drain the write issued two chunks
+            # ago on this slot before overwriting it, then fire-and-forget —
+            # a write wait per chunk serializes the loop on the DMA latency
+            s = c % 2
 
-        def put_dma(slot, cc):
+            def put_dma(slot, cc):
+                return pltpu.make_async_copy(
+                    gbuf.at[slot], grad_slice(cc), wsem.at[slot])
+
+            @pl.when(c >= 2)
+            def _():
+                put_dma(s, c - 2).wait()
+
+            gbuf[s] = grows
+
+            @pl.when(c == 0)
+            def _():
+                # fold in the shared boundary block (see the read DMA above);
+                # this tile's gated-out columns carry exact zeros, so the add
+                # only restores the neighbour's values
+                pltpu.make_async_copy(grad_slice(0), rbuf, rsem).wait()
+                gbuf[0] = gbuf[0] + rbuf[...]
+
+            put_dma(s, c).start()
+            return c + 1, new_raw, new_eff, prefix_incl[-1:, :]
+
+        init = (jnp.int32(0),
+                jnp.ones((1, P), jnp.float32),
+                jnp.ones((1, P), jnp.float32),
+                jnp.zeros((1, P), jnp.float32))
+        c_end, _, _, _ = jax.lax.while_loop(cond, body, init)
+
+        @pl.when(c_end < nchunks)
+        def _():
+            get_dma(c_end % 2, c_end).wait()
+
+        # drain the (up to two) writes still in flight BEFORE moving on:
+        # tiles run sequentially and the next tile's boundary read may
+        # target this tile's last chunk
+        def put_dma_end(cc):
             return pltpu.make_async_copy(
-                gbuf.at[slot], grad_slice(cc), wsem.at[slot])
+                gbuf.at[cc % 2], grad_slice(cc), wsem.at[cc % 2])
 
-        @pl.when(c >= 2)
+        @pl.when(c_end >= 2)
         def _():
-            put_dma(s, c - 2).wait()
+            put_dma_end(c_end - 2).wait()
 
-        gbuf[s] = grows
-
-        @pl.when(c == 0)
+        @pl.when(c_end >= 1)
         def _():
-            # fold in the shared boundary block (see the read DMA above);
-            # this tile's gated-out columns carry exact zeros, so the add
-            # only restores the neighbour's values
-            pltpu.make_async_copy(grad_slice(0), rbuf, rsem).wait()
-            gbuf[0] = gbuf[0] + rbuf[...]
+            put_dma_end(c_end - 1).wait()
 
-        put_dma(s, c).start()
-        return c + 1, new_raw, new_eff, prefix_incl[-1:, :]
+        if XPF:
+            _prefetch_next_tile(tile_start, tile_count, inst_hbm, buf, sem,
+                                i, n_tiles, rm)
+        return carry
 
-    init = (jnp.int32(0),
-            jnp.ones((1, P), jnp.float32),
-            jnp.ones((1, P), jnp.float32),
-            jnp.zeros((1, P), jnp.float32))
-    c_end, _, _, _ = jax.lax.while_loop(cond, body, init)
-
-    @pl.when(c_end < nchunks)
-    def _():
-        get_dma(c_end % 2, c_end).wait()
-
-    # drain the (up to two) writes still in flight BEFORE returning: the
-    # grid is sequential and the next tile's boundary read may target this
-    # tile's last chunk
-    def put_dma_end(cc):
-        return pltpu.make_async_copy(
-            gbuf.at[cc % 2], grad_slice(cc), wsem.at[cc % 2])
-
-    @pl.when(c_end >= 2)
-    def _():
-        put_dma_end(c_end - 2).wait()
-
-    @pl.when(c_end >= 1)
-    def _():
-        put_dma_end(c_end - 1).wait()
-
-    if XPF:
-        _prefetch_next_tile(tile_start, tile_count, inst_hbm, buf, sem, i,
-                            n_tiles, rm)
+    if ktile == 1:
+        tile_main(0, 0)
+    else:
+        jax.lax.fori_loop(0, ktile, tile_main, 0)
 
 
 SEG_BLK = 512    # gaussians per segment-reduce program
@@ -948,30 +991,47 @@ class _CompositeOut(NamedTuple):
     final_t: jnp.ndarray   # [T, P]
 
 
+def _tile_pad(num_tiles: int) -> int:
+    """Tile count padded to a KTILE multiple (pad tiles have count 0)."""
+    return -(-num_tiles // KTILE) * KTILE
+
+
+def _pad_ranges(tile_start, tile_count, n_pad: int):
+    pad = n_pad - tile_start.shape[0]
+    if pad == 0:
+        return tile_start, tile_count
+    z = jnp.zeros((pad,), tile_start.dtype)
+    return (jnp.concatenate([tile_start, z]),
+            jnp.concatenate([tile_count, z]))
+
+
 def _fwd_call(inst, F, tile_start, tile_count, num_tiles, grid_x, ch):
     rm = inst.ndim == 2 and inst.shape[1] == LANES and F <= LANES
     kernel = functools.partial(_fwd_kernel, grid_x=grid_x, ch=ch, f_cols=F,
-                               rm=rm, n_tiles=num_tiles)
+                               rm=rm, n_tiles=num_tiles, ktile=KTILE)
+    n_pad = _tile_pad(num_tiles)
+    tile_start, tile_count = _pad_ranges(tile_start, tile_count, n_pad)
     buf_shape = (2, CHUNK, LANES) if rm else (2, F, CHUNK)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(num_tiles,),
+            grid=(n_pad // KTILE,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec((1, ch + 1, P), lambda i, *_: (i, 0, 0),
+            out_specs=pl.BlockSpec((KTILE, ch + 1, P),
+                                   lambda i, *_: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM(buf_shape, jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((num_tiles, ch + 1, P), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, ch + 1, P), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=_interpret(),
     )(tile_start, tile_count, inst)
-    return out
+    return out[:num_tiles] if n_pad != num_tiles else out
 
 
 def _bwd_call(inst, F, tile_start, tile_count, g_all, blended_all,
@@ -982,7 +1042,14 @@ def _bwd_call(inst, F, tile_start, tile_count, g_all, blended_all,
         rm_out = rm
     kernel = functools.partial(_bwd_kernel, grid_x=grid_x, ch=ch, f_cols=F,
                                g_cols=g_cols, rm=rm, rm_out=rm_out,
-                               n_tiles=num_tiles)
+                               n_tiles=num_tiles, ktile=KTILE)
+    n_pad = _tile_pad(num_tiles)
+    tile_start, tile_count = _pad_ranges(tile_start, tile_count, n_pad)
+    if n_pad != num_tiles:
+        zpad = jnp.zeros((n_pad - num_tiles,) + g_all.shape[1:],
+                         jnp.float32)
+        g_all = jnp.concatenate([g_all, zpad], axis=0)
+        blended_all = jnp.concatenate([blended_all, zpad], axis=0)
     buf_shape = (2, CHUNK, LANES) if rm else (2, F, CHUNK)
     gbuf_shape = (2, CHUNK, LANES) if rm_out else (2, g_cols, CHUNK)
     rbuf_shape = (CHUNK, LANES) if rm_out else (g_cols, CHUNK)
@@ -991,13 +1058,13 @@ def _bwd_call(inst, F, tile_start, tile_count, g_all, blended_all,
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(num_tiles,),
+            grid=(n_pad // KTILE,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((1, ch + 1, P), lambda i, *_: (i, 0, 0),
+                pl.BlockSpec((KTILE, ch + 1, P), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, ch + 1, P), lambda i, *_: (i, 0, 0),
+                pl.BlockSpec((KTILE, ch + 1, P), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),

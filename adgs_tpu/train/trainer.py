@@ -309,14 +309,19 @@ class Trainer:
         """Overflow-driven autotuning of the duplicated-instance capacity
         (the reference sizes this buffer exactly per frame,
         rasterizer_impl.cu:284-305; our static shape grows on demand with
-        one retrace). Headroom 1/0.8: enough that densification growth
-        between checks doesn't silently truncate tile lists, tight because
-        every integer-pipeline stage (expansion, sort, instance gather,
-        grad permute) scales with this static shape."""
-        if num_rendered <= 0.9 * self.capacity:
+        one retrace). Headroom 1/0.92 with a 0.97 trigger: every
+        integer-pipeline stage (expansion, sort, instance gather, grad
+        permute) scales with this static shape — measured ~18 us/it per 1%
+        of headroom (exp/lab_cap.py: nr/0.95 sizing is -5.0 ms/it vs
+        nr/0.80 with identical outputs) — and the tighter margin is safe
+        because run() also checks num_rendered against the capacity EVERY
+        step and grows immediately on overflow (truncation is never
+        silent; a handful of extra retraces replace ~260 s of
+        integer-pipeline slack over a 60k run)."""
+        if num_rendered <= 0.97 * self.capacity:
             return
         q = 4096
-        new_cap = -(-int(num_rendered / 0.8) // q) * q
+        new_cap = -(-int(num_rendered / 0.92) // q) * q
         if new_cap <= self.capacity:
             return
         self.capacity = new_cap
@@ -427,9 +432,15 @@ class Trainer:
             if it % log_every == 0:
                 self.logger.scalars(
                     it, dict(logs, steps_per_sec=timer.steps_per_sec))
-            if it % self.opt.densification_interval == 0:
+            # per-step overflow guard: with the tight 0.92 sizing a frame
+            # whose num_rendered exceeds the static capacity must grow NOW
+            # (that step truncated its tile lists), not at the next
+            # periodic check
+            if (int(logs["num_rendered"]) > self.capacity
+                    or it % self.opt.densification_interval == 0):
                 self._maybe_grow_instance_capacity(
                     int(logs["num_rendered"]))
+            if it % self.opt.densification_interval == 0:
                 if (self.mesh is not None
                         and bool(logs.get("exchange_overflow", False))):
                     self._grow_exchange_capacity()

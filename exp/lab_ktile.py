@@ -1,0 +1,124 @@
+"""Interleaved A/B sweep of tiles-per-program (ADGS_KTILE).
+
+Hypothesis (PERF.md round-4 profile): each Pallas grid step costs ~3.3us
+of pipeline bubble against ~2 instance chunks of work per tile; batching
+KTILE tile ranges per program amortizes the bubble KTILE-x across both
+compositing kernels (~19 ms/step of bubbles at KITTI scale).
+
+Runs in ONE process (pays the axon tunnel once) and interleaves settings
+ABAB to defeat shared-chip drift. bin_step is CHUNK-independent and built
+once.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from adgs_tpu.core.camera import Camera
+from adgs_tpu.render import settings_for_camera
+from adgs_tpu.raster import preprocess as prep_lib
+from adgs_tpu.raster import binning as binning_lib
+from adgs_tpu.raster.pallas import render as pal
+
+N_GAUSS = int(os.environ.get("BENCH_N_GAUSS", 1_000_000))
+WIDTH, HEIGHT = 1242, 375
+ITERS = int(os.environ.get("BENCH_ITERS", 20))
+KTILES = [int(c) for c in
+          os.environ.get("LAB_KTILES", "1,8,1,8").split(",")]
+
+rng = np.random.default_rng(0)
+pts = np.zeros((N_GAUSS, 3), dtype=np.float32)
+pts[:, 2] = rng.uniform(2.0, 80.0, N_GAUSS)
+fovx, fovy = 1.2, 0.42
+pts[:, 0] = rng.uniform(-0.75, 0.75, N_GAUSS) * pts[:, 2] * np.tan(fovx / 2) * 2
+pts[:, 1] = rng.uniform(-0.75, 0.75, N_GAUSS) * pts[:, 2] * np.tan(fovy / 2) * 2
+K = 16
+shs = np.zeros((N_GAUSS, K, 3), dtype=np.float32)
+shs[:, 0] = rng.uniform(-1, 1, (N_GAUSS, 3))
+shs[:, 1:] = rng.normal(size=(N_GAUSS, K - 1, 3)) * 0.05
+scales = np.exp(rng.normal(size=(N_GAUSS, 3)) * 0.4 - 3.2) * pts[:, 2:3] * 0.05
+quats = rng.normal(size=(N_GAUSS, 4)).astype(np.float32)
+quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+opac = rng.uniform(0.2, 0.9, N_GAUSS).astype(np.float32)
+
+cam = Camera.create(R=np.eye(3), T=np.zeros(3), fovx=fovx, fovy=fovy,
+                    width=WIDTH, height=HEIGHT)
+settings = settings_for_camera(cam, sh_degree=3)
+params = dict(means3d=jnp.asarray(pts), shs=jnp.asarray(shs),
+              scales=jnp.asarray(scales, dtype=jnp.float32),
+              rotations=jnp.asarray(quats), opacities=jnp.asarray(opac))
+target = jnp.asarray(rng.uniform(size=(3, HEIGHT, WIDTH)), dtype=jnp.float32)
+
+
+@jax.jit
+def _probe(p):
+    prep = prep_lib.preprocess(p["means3d"], p["scales"], p["rotations"],
+                               p["opacities"], None, settings)
+    return jnp.sum(prep.tiles_touched)
+
+
+nr = int(_probe(params))
+CAPACITY = -(-int(nr / 0.8) // 4096) * 4096
+print(f"# capacity {CAPACITY} (num_rendered {nr})", file=sys.stderr)
+
+
+@jax.jit
+def bin_step(p):
+    prep = prep_lib.preprocess(p["means3d"], p["scales"], p["rotations"],
+                               p["opacities"], None, settings)
+    return binning_lib.bin_gaussians(prep, settings, capacity=CAPACITY,
+                                     expander="auto")
+
+
+def make_grad_step():
+    def loss_fn(p, b):
+        prep = prep_lib.preprocess(p["means3d"], p["scales"], p["rotations"],
+                                   p["opacities"], p["shs"], settings)
+        out = pal.render_pallas(prep, b, settings)
+        return (jnp.mean(jnp.abs(out.color - target))
+                + 0.1 * jnp.mean(out.depth))
+    return jax.jit(jax.value_and_grad(loss_fn))
+
+
+b0 = jax.block_until_ready(bin_step(params))
+steps = {}
+results = {}
+ref_loss = None
+for c in KTILES:
+    if c not in steps:
+        pal.KTILE = c
+        steps[c] = make_grad_step()
+        t0 = time.perf_counter()
+        loss_c, _ = jax.block_until_ready(steps[c](params, b0))
+        print(f"# ktile {c}: warm/compile {time.perf_counter()-t0:.1f}s "
+              f"loss {float(loss_c):.7f}", file=sys.stderr)
+        if ref_loss is None:
+            ref_loss = float(loss_c)
+        else:
+            assert abs(float(loss_c) - ref_loss) < 1e-7, \
+                (c, float(loss_c), ref_loss)
+    # NOTE: pal.KTILE binds at TRACE time only — cached steps keep theirs.
+    step = steps[c]
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        b = bin_step(params)
+        out = step(params, b)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    results.setdefault(c, []).append(ITERS / dt)
+    print(f"ktile {c}: {ITERS/dt:.2f} it/s ({dt/ITERS*1e3:.1f} ms/it)")
+
+for c, v in sorted(results.items()):
+    print(f"ktile {c}: runs {['%.2f' % x for x in v]} it/s")
