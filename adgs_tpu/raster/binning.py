@@ -224,10 +224,17 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings,
             # dead-gaussian runs blew the direct window: reorder the table
             # live-first (bitwise-identical outputs) so the GW_COMPACT
             # window covers by construction; the residual XLA fallback can
-            # only fire above the f32-exactness gate checked in fits_f32
-            tbl_c, g_base_c, ok_c = expand_lib.compact_live_table(
-                prep.tiles_touched, starts, offsets, prep.rect_min,
-                prep.rect_max, depth_q, capacity)
+            # only fire above the f32-exactness gate checked in fits_f32.
+            # Tiers: "kernel" (streaming Pallas compactor, ~1 ms) vs
+            # "sort" (u32 sort + row gather, ~5 ms) — same outputs.
+            if expand_lib.COMPACT == "kernel":
+                tbl_c, g_base_c, ok_c = expand_lib.compact_live_table_kernel(
+                    starts, offsets, prep.rect_min, prep.rect_max,
+                    depth_q, capacity)
+            else:
+                tbl_c, g_base_c, ok_c = expand_lib.compact_live_table(
+                    prep.tiles_touched, starts, offsets, prep.rect_min,
+                    prep.rect_max, depth_q, capacity)
             return jax.lax.cond(
                 ok_c,
                 lambda: expand_lib.expand_pallas(

@@ -48,6 +48,11 @@ def _limb3(x, axis):
 
 import os as _os  # noqa: E402
 LIMB = int(_os.environ.get("ADGS_LIMB", "1"))
+# live-compaction tier: "kernel" (streaming Pallas compactor) or "sort"
+# (u32 sort + row gather) — bitwise-identical expansion outputs, verified
+# compiled on chip (exp/lab_compactk.log). Kernel wins: train-shaped
+# bin_step 13.9 -> 11.7 ms/it at 1M gaussians, 45% dead.
+COMPACT = _os.environ.get("ADGS_COMPACT", "kernel")
 
 
 BLK = 256        # instance slots per program
@@ -251,6 +256,238 @@ def compact_live_table(tiles: jnp.ndarray, starts: jnp.ndarray,
     g_base, ok = window_starts(offsets_c, starts_c, capacity,
                                gw=GW_COMPACT)
     return tbl, g_base, ok
+
+
+# --------------------------------------------------------------------------
+# Streaming live-compaction kernel (replaces the u32-sort + row-gather form
+# of compact_live_table, ~5 ms at 1M): a counting pass + ONE sequential
+# Pallas pass that emits the live-first table directly.
+#
+#   - program c owns gaussians [c*CBLK, (c+1)*CBLK); their compacted
+#     destinations start at live_start[c] (a tiny XLA cumsum of per-block
+#     live counts, scalar-prefetched);
+#   - in-block placement is a one-hot MXU matmul: member[d, s] =
+#     (d == carry + rank_s) for live s, where rank is an exclusive
+#     lane-cumsum of the live mask and carry = live_start[c] % 128 —
+#     columns land anywhere in the [F_TBL, CSWIN] stage at matmul cost
+#     (exact via the 3-limb trick: table ints < 2^24, member 0/1);
+#   - writes go out in FULL 128-column groups at 128-aligned lane offsets
+#     (Mosaic's alignment rule) — ngroups = (carry + k_c) // 128 is 0, 1 or
+#     2, each a static-size DMA branch, so consecutive writes are DISJOINT
+#     and never race; the sub-group remainder stays in the persistent VMEM
+#     stage (rolled down by the written amount) as the next block's carry;
+#   - unmatched stage columns are exact zeros = empty spans (excl == incl
+#     == 0 never matches a slot), so dead/pad regions need no sentinel:
+#     the output array is zero-prefilled via input_output_aliases and the
+#     final sub-group flush masks the roll wraparound to zero.
+#
+# The compacted column order and values are IDENTICAL to the sort-based
+# compact_live_table (stable live-first order, same per-column values), so
+# expansion outputs are bitwise unchanged; only dead-column filler differs
+# (total/total there, 0/0 here — both empty spans).
+# --------------------------------------------------------------------------
+
+CBLK = 256       # gaussians per compaction program
+CPAD = 128       # output write granularity == GALIGN
+CSWIN = CBLK + CPAD   # stage width: carry (<128) + block live (<=256)
+
+
+def _lane_cumsum_excl(x: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive cumsum along the lane axis of a [1, n] f32 row (Mosaic has
+    no native cumsum; log-step masked rolls, render.py _scan_sub style)."""
+    n = x.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    y = x
+    k = 1
+    while k < n:
+        shifted = pltpu.roll(y, shift=k, axis=1)
+        y = y + jnp.where(lane >= k, shifted, 0.0)
+        k *= 2
+    return y - x
+
+
+def _compact_kernel(live_start, tbl_hbm, zout_in, out_hbm, stage, buf,
+                    wbuf, sem, wsem, *, nblocks: int):
+    del zout_in  # aliased to out_hbm; zero prefill provides dead columns
+    c = pl.program_id(0)
+
+    def get_dma(slot, blk):
+        return pltpu.make_async_copy(
+            tbl_hbm.at[:, pl.ds(blk * CBLK, CBLK)],
+            buf.at[slot], sem.at[slot])
+
+    @pl.when(c == 0)
+    def _():
+        get_dma(0, 0).start()
+
+    @pl.when(c + 1 < nblocks)
+    def _():
+        get_dma((c + 1) % 2, c + 1).start()
+
+    get_dma(c % 2, c).wait()
+    tblk = buf[c % 2]                                   # [F_TBL, CBLK]
+
+    def block_geom(blk):
+        ls = live_start[blk]
+        k = live_start[blk + 1] - ls
+        gb = pl.multiple_of((ls // CPAD) * CPAD, CPAD)
+        return ls - gb, k, gb                            # carry, count, base
+
+    carry, k_c, gb = block_geom(c)
+
+    live = tblk[_R_INCL:_R_INCL + 1, :] > tblk[_R_EXCL:_R_EXCL + 1, :]
+    rank = _lane_cumsum_excl(live.astype(jnp.float32))   # [1, CBLK] exact
+    dst = jnp.where(live, rank.astype(jnp.int32) + carry, CSWIN)
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, (CSWIN, CBLK), 0)
+    member = (d_iota == dst).astype(jnp.float32)         # [CSWIN, CBLK]
+    if LIMB:
+        v = jax.lax.dot_general(
+            _limb3(tblk, 0), member,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [3*F_TBL, CSWIN]
+        cols = v[:F_TBL] + v[F_TBL:2 * F_TBL] + v[2 * F_TBL:]
+    else:
+        cols = jax.lax.dot_general(
+            tblk, member, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)         # [F_TBL, CSWIN]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (F_TBL, CSWIN), 1)
+    st = jnp.where(lane < carry, stage[...], 0.0) + cols
+
+    ngroups = carry + k_c - (carry + k_c) % CPAD         # written columns
+
+    def wdma(slot, base, width):
+        return pltpu.make_async_copy(
+            wbuf.at[slot, :, :width],
+            out_hbm.at[:, pl.ds(base, width)], wsem.at[slot])
+
+    # drain the write issued two blocks ago on this slot (disjoint ranges,
+    # so only slot reuse needs serializing, not the writes themselves)
+    s = c % 2
+
+    @pl.when(c >= 2)
+    def _():
+        carry2, k2, gb2 = block_geom(c - 2)
+        ng2 = carry2 + k2 - (carry2 + k2) % CPAD
+        for w in (CPAD, 2 * CPAD):
+            @pl.when(ng2 == w)
+            def _():
+                wdma(s, gb2, w).wait()
+
+    wbuf[s] = st
+    # next block's carry: the sub-group remainder, rolled down to lane 0
+    # (static rolls selected by the scalar group count)
+    st_r = jnp.where(ngroups == CPAD, pltpu.roll(st, CSWIN - CPAD, axis=1),
+                     jnp.where(ngroups == 2 * CPAD,
+                               pltpu.roll(st, CSWIN - 2 * CPAD, axis=1),
+                               st))
+    stage[...] = st_r
+
+    for w in (CPAD, 2 * CPAD):
+        @pl.when(ngroups == w)
+        def _():
+            wdma(s, gb, w).start()
+
+    @pl.when(c == nblocks - 1)
+    def _():
+        # drain the previous block's write, flush the final sub-group
+        # (masking the roll wraparound back to the zero sentinel), drain
+        @pl.when(c >= 1)
+        def _():
+            carry1, k1, gb1 = block_geom(c - 1)
+            ng1 = carry1 + k1 - (carry1 + k1) % CPAD
+            for w in (CPAD, 2 * CPAD):
+                @pl.when(ng1 == w)
+                def _():
+                    wdma((c - 1) % 2, gb1, w).wait()
+        for w in (CPAD, 2 * CPAD):
+            @pl.when(ngroups == w)
+            def _():
+                wdma(s, gb, w).wait()
+        carry_end = carry + k_c - ngroups
+        wbuf[s] = jnp.where(lane < carry_end, st_r, 0.0)
+        fb = pl.multiple_of(gb + ngroups, CPAD)
+        wdma(s, fb, CPAD).start()
+        wdma(s, fb, CPAD).wait()
+
+
+def compact_live_table_kernel(
+        starts: jnp.ndarray, offsets: jnp.ndarray,
+        rect_min: jnp.ndarray, rect_max: jnp.ndarray,
+        depth_q: jnp.ndarray, capacity: int
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Kernel-compacted expansion table -> (tbl, g_base, ok); same contract
+    and bitwise-identical expansion outputs as compact_live_table.
+
+    g_base/ok come from mapping window_starts' two searchsorteds on the
+    ORIGINAL (sorted) start/offset arrays through the exclusive live-count
+    cumsum L: the original arrays are non-decreasing with dead gaussians
+    contributing flat runs, so #live with value </<= q equals L at the
+    original boundary index — exactly the searchsorted result over the
+    compacted arrays. The GW_COMPACT always-covers argument (module
+    docstring) is unchanged."""
+    n = starts.shape[0]
+    tbl_u = build_table(starts, offsets, rect_min, rect_max, depth_q,
+                        gw=GW_COMPACT)
+    n_pad = tbl_u.shape[1]
+    n_cpad = -(-n_pad // CBLK) * CBLK
+    if n_cpad != n_pad:
+        # extra pad columns are all-zero = empty spans (never match)
+        tbl_u = jnp.concatenate(
+            [tbl_u, jnp.zeros((F_TBL, n_cpad - n_pad), jnp.float32)],
+            axis=1)
+    nblocks = n_cpad // CBLK
+
+    live = (offsets > starts).astype(jnp.int32)
+    from ..binning import cumsum_mxu
+    l_incl = cumsum_mxu(live)                            # [n]
+    l_excl = jnp.concatenate([jnp.zeros((1,), jnp.int32), l_incl])
+    # live_start[c] = cumulative live count before block c = l_incl at the
+    # previous block boundary (edge-padded past n: pad columns are dead)
+    l_pad = jnp.pad(l_incl, (0, n_cpad - n), mode="edge")
+    live_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), l_pad[CBLK - 1::CBLK]]).astype(jnp.int32)
+
+    out = pl.pallas_call(
+        functools.partial(_compact_kernel, nblocks=nblocks),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblocks,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((F_TBL, CSWIN), jnp.float32),
+                pltpu.VMEM((2, F_TBL, CBLK), jnp.float32),
+                pltpu.VMEM((2, F_TBL, CSWIN), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((F_TBL, n_pad), jnp.float32),
+        input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True),
+        interpret=_interpret(),
+    )(live_start, tbl_u, jnp.zeros((F_TBL, n_pad), jnp.float32))
+
+    # window bounds over the compacted table via the L map
+    nbq = capacity // BLK
+    total = offsets[-1]
+    qs = jnp.arange(nbq, dtype=jnp.int32) * BLK
+    j_lo = jnp.searchsorted(offsets, qs, side="right").astype(jnp.int32)
+    j_hi = jnp.searchsorted(starts, jnp.minimum(qs + BLK, total),
+                            side="left").astype(jnp.int32)
+    j_lo = jax.lax.optimization_barrier(j_lo)
+    j_hi = jax.lax.optimization_barrier(j_hi)
+    le = jax.lax.optimization_barrier(l_excl)
+    g_lo = le[j_lo]
+    g_hi = le[j_hi]
+    base = jnp.clip((g_lo // GALIGN) * GALIGN, 0, n_pad - GW_COMPACT)
+    ok = jnp.all(g_hi <= base + GW_COMPACT)
+    return out, base, ok
 
 
 def expand_pallas(tbl: jnp.ndarray, g_base: jnp.ndarray, capacity: int,

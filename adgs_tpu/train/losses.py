@@ -40,42 +40,33 @@ def _bce(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return -jnp.mean(target * jnp.log(pred) + (1 - target) * jnp.log(1 - pred))
 
 
-# KNN-group gather with an MXU segment-reduce backward. Autodiff of the
-# plain gather transposes to a scatter-add of ~A*K rows into [No, D] —
-# the TPU scatter-add wall made the regularizer pair cost ~86 ms at
+# KNN-group gather with a sort-based segment-sum backward. Autodiff of
+# the plain gather transposes to a scatter-add of ~A*K rows into [No, D]
+# — the TPU scatter-add wall made the regularizer pair cost ~86 ms at
 # 100k x 8 groups (exp/lab_lossbwd). The custom VJP re-routes the
-# backward through the raster grad pipeline's machinery: 1-key sort of
-# the flat ids + one row gather + the per-gaussian one-hot MXU reduce
-# (segment_reduce_contiguous). Set ADGS_REG_MXU=1 for the MXU tier.
+# backward: 1-key sort of the flat ids + one row gather + a SORTED
+# segment_sum (the sorted contiguous scatter-add rides the fast path) —
+# 10.4 ms standalone for the pair (exp/lab_groupvar_pair), production
+# train step 5.48 -> 8.34 it/s (round 4).
 #
-# DEFAULT OFF (round-4 open issue). Evidence matrix (exp/repro_reg*.py,
-# all at the bench scale: 1M gaussians, 312.5k obj, 39k x 8 groups):
-#   MXU backward STANDALONE, exact shapes+content ... OK (5/5 arms)
-#   full train step, scatter backward ............. OK (4 steps, on chip)
-#   full train step, MXU backward ................. "UNAVAILABLE: TPU
-#       device error", DETERMINISTIC (reproduced in a healthy window;
-#       ADGS_XPF=0 unchanged, so not the prefetch)
-#   full step, MXU, backend=xla raster tier ....... FAULT (raster
-#       pallas kernels exonerated)
-#   reg grad + expand + env kernels in one jit .... OK (coexistence is
-#       not sufficient; needs more of the step graph — exp/repro_reg4)
-#   small-scale trainer end-to-end on chip ........ OK (exp/train_onchip)
-#   full step, sort+gather+sorted segment_sum ..... OK (exp/repro_reg5)
-#   full step, ONE MXU instance (xyz-only or sigma-only) OK; BOTH
-#       instances, or the fused Gc=104 single instance .. FAULT
-#       (exp/repro_reg6, repro_reg_pair1b — so instance count alone is
-#       not the whole story either)
-# => the trigger is the segment_reduce_contiguous pallas call in the
-# full-step context specifically. Standalone wins 72.8 -> 11.2 ms for
-# the pair (exp/lab_groupvar.py, grads 6e-8).
+# A third tier (pallas MXU segment reduce via the raster pipeline's
+# segment_reduce_contiguous, 7.7 ms standalone) was DELETED in round 5:
+# it deterministically faulted ("UNAVAILABLE: TPU device error") when
+# composed into the full 1M train step in several configurations while
+# passing every standalone/parity/coexistence repro (the round-4
+# evidence matrix lives in exp/repro_reg*.py and the round-4 history of
+# this comment). The ~2.7 ms it could save did not justify shipping a
+# kernel with an unexplained compiled-path fault; the raster pipeline's
+# own segment_reduce_contiguous use (disjoint per-tile grad columns) has
+# never faulted and is unaffected.
 #
 # Tiers (ADGS_REG_MXU): 0 = autodiff scatter (always-safe reference),
-# 1 = pallas MXU segment reduce (fastest; SHELVED for in-step use),
-# 2 = sort + row gather + SORTED segment_sum (fault-free in-step; the
-#     sorted contiguous scatter-add rides the fast path) — DEFAULT.
+# 2 = sort + row gather + SORTED segment_sum — DEFAULT. (1 maps to 2.)
 import os as _os
 
 REG_MXU = int(_os.environ.get("ADGS_REG_MXU", "2"))
+if REG_MXU == 1:  # the deleted MXU tier
+    REG_MXU = 2
 
 
 @jax.custom_vjp
@@ -92,49 +83,23 @@ def _gg_fwd(values2d, idx):
 
 def _gg_bwd(res, d_g):
     import numpy as _np
-    from ..raster.pallas.render import (SEG_C, _round8,
-                                        segment_reduce_contiguous)
     idx, No = res
-    # firewall the cotangent from the surrounding step graph: the in-step
-    # fault (evidence matrix above) never reproduces when d_g comes from
-    # a simple upstream, pointing at fusion across this boundary
+    # firewall the cotangent from the surrounding step graph (gathers
+    # fused into elementwise fusions scalarize, PERF.md item 2)
     d_g = jax.lax.optimization_barrier(d_g)
     A, K = idx.shape
     D = d_g.shape[-1]
-    Gc = _round8(D)
     R = A * K
-    R_seg = -(-R // SEG_C) * SEG_C + SEG_C
     flat = idx.reshape(R).astype(jnp.int32)
     s, perm = jax.lax.sort((flat, jnp.arange(R, dtype=jnp.int32)),
                            num_keys=1, is_stable=False)
     rows = d_g.reshape(R, D)
-    if REG_MXU == 2:
-        gm = jax.lax.optimization_barrier(
-            jax.lax.optimization_barrier(rows)[
-                jax.lax.optimization_barrier(perm)])     # [R, D]
-        per = jax.ops.segment_sum(gm, s, num_segments=No,
-                                  indices_are_sorted=True)
-        return per, _np.zeros(idx.shape, jax.dtypes.float0)
-    if Gc != D:
-        rows = jnp.concatenate(
-            [rows, jnp.zeros((R, Gc - D), jnp.float32)], axis=1)
-    rows = jnp.concatenate([rows, jnp.zeros((1, Gc), jnp.float32)])
-    perm = jnp.concatenate([perm, jnp.full((R_seg - R,), R, jnp.int32)])
-    perm = jax.lax.optimization_barrier(perm)
     gm = jax.lax.optimization_barrier(
-        jax.lax.optimization_barrier(rows)[perm])        # [R_seg, Gc]
-    cols = gm.T                                          # [Gc, R_seg]
-    # exclusive member-count prefix per gaussian. NOT jnp.searchsorted —
-    # 300k queries over 300k sorted keys measured 40.8 ms on-chip
-    # (exp/lab_gv2.py); a sorted-index scatter + MXU cumsum is ~1 ms
-    # (the binning expansion's inverse-prefix pattern, binning.py)
-    from ..raster.binning import cumsum_mxu
-    counts = jnp.zeros((No,), jnp.int32).at[s].add(
-        jnp.ones_like(s), mode="drop", indices_are_sorted=True)
-    gauss_start = (cumsum_mxu(counts) - counts).astype(jnp.int32)
-    per = jax.lax.optimization_barrier(segment_reduce_contiguous(
-        cols, gauss_start, jnp.int32(R), No))            # [No, Gc]
-    return per[:, :D], _np.zeros(idx.shape, jax.dtypes.float0)
+        jax.lax.optimization_barrier(rows)[
+            jax.lax.optimization_barrier(perm)])     # [R, D]
+    per = jax.ops.segment_sum(gm, s, num_segments=No,
+                              indices_are_sorted=True)
+    return per, _np.zeros(idx.shape, jax.dtypes.float0)
 
 
 _group_gather.defvjp(_gg_fwd, _gg_bwd)
@@ -178,10 +143,8 @@ def _group_variance_loss(values: jnp.ndarray, idx: jnp.ndarray,
 def _group_variance_pair(values_a, values_b, idx, valid):
     """Both KNN regularizers through ONE gather + ONE backward: the
     flattened columns concatenate (losses/grads identical to two separate
-    calls — per-column math is independent). Besides halving the
-    sort/reduce work, the single-instance form is the one the in-step
-    MXU tier is chip-validated for (two segment-reduce instances in the
-    full step fault; one is fine — exp/repro_reg6)."""
+    calls — per-column math is independent), halving the sort/reduce
+    work."""
     if not REG_MXU:
         return (_group_variance_loss(values_a, idx, valid),
                 _group_variance_loss(values_b, idx, valid))

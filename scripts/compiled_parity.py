@@ -123,10 +123,11 @@ def compiled_parity_check():
     np.testing.assert_allclose(d_fast, d_gen, rtol=1e-5, atol=1e-5,
                                err_msg="env sampler BWD mismatch (compiled)")
 
-    # KNN group-variance regularizer: both backward tiers compiled, grads
-    # compared (the round-4 REG_MXU in-step fault class is invisible to
-    # interpret-mode tests; this exercises the compiled kernels at a
-    # moderate shape — the full-step composition at 1M is bench-side)
+    # KNN group-variance regularizer: the sort-tier backward compiled,
+    # grads compared against the autodiff scatter (in-step fault classes
+    # are invisible to interpret-mode tests; this exercises the compiled
+    # path at a moderate shape — the 1M full-step composition is
+    # bench-side)
     from adgs_tpu.train import losses as loss_lib
     No, A, K = 64_000, 8_000, 8
     vals = jnp.asarray(rng.normal(size=(No, 96)).astype(np.float32))
@@ -136,18 +137,16 @@ def compiled_parity_check():
     prev = loss_lib.REG_MXU
     grads_by_tier = {}
     try:
-        for tier in (0, 1, 2):
+        for tier in (0, 2):
             loss_lib.REG_MXU = tier
             grads_by_tier[tier] = np.asarray(jax.jit(jax.grad(
                 lambda v: loss_lib._group_variance_loss(
                     v, g_idx, g_valid)))(vals))
     finally:
         loss_lib.REG_MXU = prev
-    for tier in (1, 2):
-        np.testing.assert_allclose(
-            grads_by_tier[tier], grads_by_tier[0], rtol=1e-4, atol=1e-7,
-            err_msg=f"group-variance tier {tier} vs scatter grad "
-                    "mismatch (compiled)")
+    np.testing.assert_allclose(
+        grads_by_tier[2], grads_by_tier[0], rtol=1e-4, atol=1e-7,
+        err_msg="group-variance tier 2 vs scatter grad mismatch (compiled)")
 
     print("# compiled parity: pallas==xla raster (image+grad), "
           "env fast==generic (fwd+bwd, seam), "
