@@ -53,7 +53,7 @@ class MetricsLogger:
                 self.tb = None
 
     def scalars(self, step: int, values: dict, prefix: str = "train"):
-        rec = {"step": step}
+        rec = {"step": step, "split": prefix}
         rec.update({k: float(v) for k, v in values.items()})
         self.f.write(json.dumps(rec) + "\n")
         self.f.flush()
