@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -148,10 +149,14 @@ def _slice_gaussian_axis(tree, d: jnp.ndarray, D: int, scene_cap: int,
 
 
 def default_exchange_capacity(n_loc: int, D: int) -> int:
-    """Initial per-pair exchange capacity: 4x the uniform share, like the
+    """Initial per-pair exchange capacity: 2x the uniform share, like the
     instance-capacity autotuner's headroom (overflow-flagged, grown by the
-    trainer when the flag fires)."""
-    return max(64, -(-4 * n_loc // D) // 8 * 8)
+    trainer when the flag fires). The all_to_all send buffer and its
+    bucket scatter both scale with this (the payload a2a is the top
+    collective in the D=8 profile), and the mean slab span of a 3-sigma
+    rect is only ~1.1-1.5 — 2x covers it with margin while halving the
+    round-4 4x default's traffic."""
+    return max(64, -(-2 * n_loc // D) // 8 * 8)
 
 
 def _exchange_primitives(payload, dev_lo, dev_hi, D: int, axis: str,
@@ -172,7 +177,13 @@ def _exchange_primitives(payload, dev_lo, dev_hi, D: int, axis: str,
     sorts cost 20-75s each to compile, CLAUDE.md). Rows sent to several
     slabs are scattered once per destination directly from the payload
     (no [n*D, F] repeat intermediate); the scatters' transpose SUMS the
-    per-destination cotangents — grads stay exact."""
+    per-destination cotangents — grads stay exact.
+
+    Returns ([D * cap_pair, F] received rows, overflow flag). There is no
+    separate validity exchange: unfilled send slots stay exactly zero, so
+    the caller's vis column (sent as 1.0 for every real row) doubles as
+    the valid mask — one all_to_all instead of two (round-5 collective
+    diet; every collective is a device rendezvous)."""
     n, F = payload.shape
     e_rng = jnp.arange(D, dtype=jnp.int32)
     m = (dev_lo[:, None] <= e_rng) & (e_rng <= dev_hi[:, None])  # [n, D]
@@ -187,13 +198,10 @@ def _exchange_primitives(payload, dev_lo, dev_hi, D: int, axis: str,
         # unique as far as XLA is concerned
         send = send.at[dest[:, e]].set(payload)
     send = send[:D * cap_pair]
-    valid = (jnp.arange(cap_pair) < counts[:, None]).reshape(-1)
     overflow = jnp.max(counts) > cap_pair
     recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0,
                               tiled=True)
-    vrecv = jax.lax.all_to_all(valid, axis, split_axis=0, concat_axis=0,
-                               tiled=True)
-    return recv, vrecv, jax.lax.psum(overflow.astype(jnp.int32), axis) > 0
+    return recv, jax.lax.psum(overflow.astype(jnp.int32), axis) > 0
 
 
 def _device_render(params, state, screen_offset, *, config, settings,
@@ -261,9 +269,11 @@ def _device_render(params, state, screen_offset, *, config, settings,
             if sem_loc is not None:
                 cols.append(sem_loc)
             payload = jnp.concatenate(cols, axis=-1)
-            rows, val, ex_overflow = _exchange_primitives(
+            rows, ex_overflow = _exchange_primitives(
                 payload, dev_lo, dev_hi, D, axis, cap_pair)
-            visible_r = val & (rows[:, 12] > 0.5)
+            # unfilled exchange slots are exact zeros, so the vis column
+            # (1.0 on every sent row) is also the slot-valid mask
+            visible_r = rows[:, 12] > 0.5
             nr = rows.shape[0]
             zi = jnp.zeros((nr, 2), jnp.int32)
             prep = Preprocessed(
@@ -546,7 +556,14 @@ def _slab_image_losses(rendered, depth_s, opac_s, flow_img_s, sem_s,
     train.losses.compute_losses up to f32 reassociation of the sums.
 
     rendered: [3, rows, W]; depth/opac: [rows, W]; batch_sl: this
-    device's row slice (zero-padded past the true image height H)."""
+    device's row slice (zero-padded past the true image height H).
+
+    Collective diet (round 5): every psum is a device rendezvous, so all
+    data-independent scalar sums ride ONE stacked psum (elementwise — the
+    per-term summation order, and therefore every value, is unchanged);
+    only the depth alignment needs a second round (its residual depends
+    on the psum'd normal-equation moments). The SSIM halo likewise moves
+    rendered+gt in one stacked ppermute pair instead of two."""
     rows = rendered.shape[1]
     rmask = ((row0 + jnp.arange(rows)) < H).astype(jnp.float32)
     m1 = rmask[None, :, None]
@@ -558,25 +575,59 @@ def _slab_image_losses(rendered, depth_s, opac_s, flow_img_s, sem_s,
         return jax.lax.psum(v, axis)
 
     gt = batch_sl.image
-    l1 = ps(jnp.sum(jnp.abs(rendered - gt) * m1)) / (3.0 * npx)
-    logs["l1_loss"] = l1
+    part = [jnp.sum(jnp.abs(rendered - gt) * m1)]          # l1
 
-    rend_h = _halo_rows(rendered * m1, _SSIM_HALO, axis, D, row_axis=1)
-    gt_h = _halo_rows(gt * m1, _SSIM_HALO, axis, D, row_axis=1)
-    smap = image_ops.ssim_map(rend_h, gt_h)[0][:, _SSIM_HALO:-_SSIM_HALO]
-    dssim = 1.0 - ps(jnp.sum(smap * m1)) / (3.0 * npx)
+    both_h = _halo_rows(jnp.concatenate([rendered * m1, gt * m1], axis=0),
+                        _SSIM_HALO, axis, D, row_axis=1)
+    smap = image_ops.ssim_map(both_h[:3], both_h[3:]
+                              )[0][:, _SSIM_HALO:-_SSIM_HALO]
+    part.append(jnp.sum(smap * m1))                        # ssim
+
+    use_depth = opt.lambda_depth > 0.0
+    if use_depth:
+        pred, targ = depth_s, batch_sl.depth
+        mask = jnp.broadcast_to(m2, pred.shape)
+        part += [jnp.sum(mask * pred * pred), jnp.sum(mask * pred),
+                 jnp.sum(mask), jnp.sum(mask * pred * targ),
+                 jnp.sum(mask * targ)]
+    use_flow = opt.lambda_flow > 0.0 and batch_sl.flow is not None
+    if use_flow:
+        fpk = batch_sl.flow
+        err_sum, count = flow_ops.flow_loss_sums(
+            flow_img_s, fpk.flow, fpk.vis, fpk.K, fpk.R, fpk.T,
+            opac_s, dist=scene_extent * 1e-3, full_hw=(H, W),
+            pix_mask=jnp.broadcast_to(m2, fpk.vis.shape))
+        part += [err_sum, count.astype(jnp.float32)]
+    use_obj = opt.lambda_obj > 0.0
+    if use_obj:
+        predo = jnp.clip(sem_s[0], 1e-3, 1.0 - 1e-3)
+        t_ob = (batch_sl.semantic > 0).astype(jnp.float32)
+        part.append(-jnp.sum((t_ob * jnp.log(predo)
+                              + (1 - t_ob) * jnp.log(1 - predo)) * m2))
+    use_sky = opt.lambda_sky > 0.0
+    if use_sky:
+        preds = 1.0 - jnp.clip(opac_s, 1e-3, 1.0 - 1e-3)
+        part.append(-jnp.sum((batch_sl.sky * jnp.log(preds)
+                              + (1 - batch_sl.sky)
+                              * jnp.log(1 - preds)) * m2))
+
+    S = ps(jnp.stack(part))
+    c = 0
+
+    def nxt(k=1):
+        nonlocal c
+        c += k
+        return S[c - k] if k == 1 else S[c - k:c]
+
+    l1 = nxt() / (3.0 * npx)
+    logs["l1_loss"] = l1
+    dssim = 1.0 - nxt() / (3.0 * npx)
     logs["dssim_loss"] = dssim
     total = (1.0 - opt.lambda_dssim) * opt.lambda_l1 * l1 \
         + opt.lambda_dssim * dssim
 
-    if opt.lambda_depth > 0.0:
-        pred, targ = depth_s, batch_sl.depth
-        mask = jnp.broadcast_to(m2, pred.shape)
-        moments = ps(jnp.stack([
-            jnp.sum(mask * pred * pred), jnp.sum(mask * pred),
-            jnp.sum(mask), jnp.sum(mask * pred * targ),
-            jnp.sum(mask * targ)]))
-        a00, a01, a11, b0, b1 = (moments[i] for i in range(5))
+    if use_depth:
+        a00, a01, a11, b0, b1 = (nxt() for _ in range(5))
         det = a00 * a11 - a01 * a01
         safe = jnp.where(det == 0.0, 1.0, det)
         scale = jnp.where(det == 0.0, 0.0, (a11 * b0 - a01 * b1) / safe)
@@ -588,33 +639,21 @@ def _slab_image_losses(rendered, depth_s, opac_s, flow_img_s, sem_s,
         total = total + opt.lambda_depth * d
         logs["depth_loss"] = d
 
-    if opt.lambda_flow > 0.0 and batch_sl.flow is not None:
-        fpk = batch_sl.flow
-        err_sum, count = flow_ops.flow_loss_sums(
-            flow_img_s, fpk.flow, fpk.vis, fpk.K, fpk.R, fpk.T,
-            opac_s, dist=scene_extent * 1e-3, full_hw=(H, W),
-            pix_mask=jnp.broadcast_to(m2, fpk.vis.shape))
-        sums = ps(jnp.stack([err_sum, count.astype(jnp.float32)]))
-        fl = jnp.where(sums[1] > 0,
-                       sums[0] / jnp.maximum(sums[1], 1.0), 0.0)
+    if use_flow:
+        fsum, fcnt = nxt(), nxt()
+        fl = jnp.where(fcnt > 0, fsum / jnp.maximum(fcnt, 1.0), 0.0)
         if batch_sl.flow_valid is not None:
             fl = jnp.where(batch_sl.flow_valid, fl, 0.0)
         total = total + opt.lambda_flow * fl
         logs["flow_loss"] = fl
 
-    if opt.lambda_obj > 0.0:
-        pred = jnp.clip(sem_s[0], 1e-3, 1.0 - 1e-3)
-        t_ob = (batch_sl.semantic > 0).astype(jnp.float32)
-        terms = t_ob * jnp.log(pred) + (1 - t_ob) * jnp.log(1 - pred)
-        ob = -ps(jnp.sum(terms * m2)) / npx
+    if use_obj:
+        ob = nxt() / npx
         total = total + opt.lambda_obj * ob
         logs["obj_loss"] = ob
 
-    if opt.lambda_sky > 0.0:
-        pred = 1.0 - jnp.clip(opac_s, 1e-3, 1.0 - 1e-3)
-        terms = batch_sl.sky * jnp.log(pred) \
-            + (1 - batch_sl.sky) * jnp.log(1 - pred)
-        sk = -ps(jnp.sum(terms * m2)) / npx
+    if use_sky:
+        sk = nxt() / npx
         total = total + opt.lambda_sky * sk
         logs["sky_loss"] = sk
 
@@ -719,7 +758,46 @@ def _make_slab_train_step(config, opt, frame_gap, scene_extent,
         so_shape = ((B,) if batched else ()) + (params.capacity, 2)
         so = jnp.zeros(so_shape, dtype=jnp.float32)
 
-        def inner(trainables, so_, cam, rays_sl, batch_sl, state_):
+        # Packed-trainables boundary (round-5 collective diet): crossing
+        # the shard_map boundary as ONE concatenated f32 vector makes the
+        # replicated-in transpose emit ONE grad psum instead of one per
+        # param leaf (~20 device rendezvous per step on the CPU mesh; on
+        # hardware it is the difference between one fused ring allreduce
+        # and a launch per leaf). Bitwise-neutral: psum of a concatenation
+        # sums the same elements in the same device order.
+        trainables = TrainableState(gaussians=params, env=env)
+        flat0, t_def = jax.tree.flatten(trainables)
+        use_pack = (int(os.environ.get("ADGS_PACK_GRADS", "1")) != 0
+                    and all(l.dtype == jnp.float32 for l in flat0))
+        shapes = [l.shape for l in flat0]
+        sizes = [int(l.size) for l in flat0]
+
+        def _pack(tree):
+            return jnp.concatenate(
+                [x.reshape(-1) for x in jax.tree.leaves(tree)])
+
+        # custom_vjp: XLA transposes the naive slice-unpack into one
+        # pad+add of the FULL vector PER LEAF (~20 full-length passes,
+        # profiled at ~117 ms/device-step on the CPU mesh); the true
+        # adjoint is a single concat of the leaf cotangents.
+        @jax.custom_vjp
+        def _unpack(vec):
+            out, o = [], 0
+            for s, sz in zip(shapes, sizes):
+                out.append(vec[o:o + sz].reshape(s))
+                o += sz
+            return jax.tree.unflatten(t_def, out)
+
+        def _unpack_fwd(vec):
+            return _unpack(vec), None
+
+        def _unpack_bwd(_, ct):
+            return (_pack(ct),)
+
+        _unpack.defvjp(_unpack_fwd, _unpack_bwd)
+
+        def inner(tr_in, so_, cam, rays_sl, batch_sl, state_):
+            trainables = _unpack(tr_in) if use_pack else tr_in
             if batched:   # squeeze this data row's camera block
                 cam, so_, rays_sl, batch_sl = jax.tree.map(
                     lambda x: x[0], (cam, so_, rays_sl, batch_sl))
@@ -781,19 +859,22 @@ def _make_slab_train_step(config, opt, frame_gap, scene_extent,
             out_specs=(rep, rep, ds(), ds(), rep, rep),
             check_vma=False)
 
-        def loss_fn(trainables: TrainableState, so_):
+        def loss_fn(tr_in, so_):
             total_img, logs, radii, vis, exo, nrend = fn(
-                trainables, so_, camera, rays_p, batch_p, state)
+                tr_in, so_, camera, rays_p, batch_p, state)
+            tr = _unpack(tr_in) if use_pack else tr_in
             g_total, g_logs = gaussian_term_losses(
-                trainables.gaussians, state, opt, frame_gap)
+                tr.gaussians, state, opt, frame_gap)
             total = total_img + g_total
             logs = dict(logs, **g_logs, total_loss=total,
                         num_rendered=nrend, exchange_overflow=exo)
             return total, (logs, radii, vis)
 
-        trainables = TrainableState(gaussians=params, env=env)
+        tr0 = _pack(trainables) if use_pack else trainables
         (loss, (logs, radii, vis)), (grads, so_grad) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(trainables, so)
+            loss_fn, argnums=(0, 1), has_aux=True)(tr0, so)
+        if use_pack:
+            grads = _unpack(grads)
 
         lrs = lr_tree(opt, scene_extent, cameras_extent, iteration)
         new_trainables, new_opt_state = sharded_adam_update(

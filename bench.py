@@ -29,10 +29,14 @@ HEIGHT = int(os.environ.get("BENCH_HEIGHT", 375))
 ITERS = int(os.environ.get("BENCH_ITERS", 10))
 BACKEND = os.environ.get("BENCH_BACKEND", "pallas")
 # 0 = size the instance capacity the way the trainer's overflow autotuner
-# would (num_rendered / 0.8 rounded up) — every integer-pipeline stage
-# scales with this static shape, so benching at a fixed oversized capacity
-# understates the trained-system throughput
+# would — every integer-pipeline stage scales with this static shape, so
+# benching at a fixed oversized capacity understates the trained-system
+# throughput. Headroom follows the trainer's shipped 0.92 policy since
+# round 5 (trainer.py _maybe_grow_instance_capacity; rounds <= 4 benched
+# at 0.8 — worth ~+4-5 ms/it at 1M, exp/lab_cap.py, so cross-round
+# comparisons should add that back or set BENCH_CAP_HEADROOM=0.8)
 CAPACITY = int(os.environ.get("BENCH_CAPACITY", 0))
+CAP_HEADROOM = float(os.environ.get("BENCH_CAP_HEADROOM", 0.92))
 MAX_PER_TILE = int(os.environ.get("BENCH_MAX_PER_TILE", 4096))
 CHUNK = int(os.environ.get("BENCH_CHUNK", 64))
 # second phase: the trainer-shaped step (deform, flow+semantic channels,
@@ -127,7 +131,7 @@ def bench_train_step():
         lambda p, s: compute_binning(cam, p, s, cfg, active_sh_degree=3,
                                      capacity=1 << 10).num_rendered
     )(params, state))
-    cap_train = -(-int(nr / 0.8) // 4096) * 4096
+    cap_train = -(-int(nr / CAP_HEADROOM) // 4096) * 4096
     wok = jax.jit(
         lambda p, s: compute_binning(cam, p, s, cfg, active_sh_degree=3,
                                      capacity=cap_train).window_ok
@@ -266,7 +270,7 @@ def _bench_body(result):
     global CAPACITY
     if CAPACITY == 0:
         # probe the true instance count once, then size capacity with the
-        # trainer autotuner's 1/0.8 headroom (train/trainer.py
+        # trainer autotuner's headroom policy (train/trainer.py
         # _maybe_grow_instance_capacity)
         from adgs_tpu.raster import preprocess as _prep
         from adgs_tpu.raster import binning as _binning
@@ -278,7 +282,7 @@ def _bench_body(result):
                 None, settings)
             return jnp.sum(prep.tiles_touched)
         nr = int(_probe(params))
-        CAPACITY = -(-int(nr / 0.8) // 4096) * 4096
+        CAPACITY = -(-int(nr / CAP_HEADROOM) // 4096) * 4096
         print(f"# instance capacity autotuned to {CAPACITY} "
               f"(num_rendered {nr})", file=sys.stderr)
 
