@@ -64,8 +64,13 @@ from ..types import RasterSettings, TILE_X, TILE_Y, TILE_PIX
 import os as _os
 
 # instances per DMA block (env override for perf sweeps; capacity is
-# 4096-quantized so any power of two <= 4096 divides it)
-CHUNK = int(_os.environ.get("ADGS_PALLAS_CHUNK", 256))
+# 4096-quantized so any power of two <= 4096 divides it). 128 since
+# round 5: ABAB on chip (exp/lab_chunk.py) reads 14.07/14.08 it/s at 128
+# vs 13.94/13.91 at 256 — the shorter [CHUNK, P] roll chains beat the
+# halved chunk count now that per-chunk overhead is amortized elsewhere
+# (round-2 measured them dead even; the kernels changed). 64 does not
+# lower: Mosaic rejects sub-128-lane HBM slices.
+CHUNK = int(_os.environ.get("ADGS_PALLAS_CHUNK", 128))
 # tiles per Pallas program (fwd + bwd). Each grid step costs ~3.3 us of
 # pipeline bubble (Mosaic prologue, scalar fetches, output-block DMA sync)
 # against a mean occupancy of only ~2 instance chunks per tile at KITTI

@@ -70,7 +70,8 @@ def _probe(p):
 
 
 nr = int(_probe(params))
-CAPACITY = -(-int(nr / 0.8) // 4096) * 4096
+_head = float(os.environ.get("LAB_HEADROOM", "0.8"))
+CAPACITY = -(-int(nr / _head) // 4096) * 4096
 print(f"# capacity {CAPACITY} (num_rendered {nr})", file=sys.stderr)
 
 
