@@ -245,14 +245,19 @@ def bin_gaussians(prep: Preprocessed, settings: RasterSettings,
         if expander == "pallas":
             # forced-kernel callers (tests/perf labs) get no auto fallback:
             # warn loudly when the static window cannot cover some block —
-            # the expansion output is garbage for the uncovered slots
-            jax.lax.cond(
-                windows_ok, lambda: None,
-                lambda: jax.debug.print(
-                    "[adgs_tpu] WARNING: expander='pallas' forced but the "
-                    "gaussian window cannot cover every slot block "
-                    "(window_starts ok=False); output is unreliable — "
-                    "use expander='auto'"))
+            # the expansion output is garbage for the uncovered slots.
+            # (jax.debug.print needs host callbacks, which the axon remote
+            # backend does not support and reports platform 'tpu' — there
+            # the Binning.window_ok field is the only signal; warn on CPU
+            # only, where the interpret-mode tests run.)
+            if jax.default_backend() == "cpu":
+                jax.lax.cond(
+                    windows_ok, lambda: None,
+                    lambda: jax.debug.print(
+                        "[adgs_tpu] WARNING: expander='pallas' forced but "
+                        "the gaussian window cannot cover every slot block "
+                        "(window_starts ok=False); output is unreliable — "
+                        "use expander='auto'"))
             key, gid = _expand_pallas()
         else:
             key, gid = jax.lax.cond(

@@ -27,8 +27,8 @@ from adgs_tpu.raster.pallas import expand as expand_lib
 
 params, target, settings = make_inputs()
 
-CONFIGS = [(512, 1024), (256, 512), (128, 384), (256, 768),
-           (512, 1024), (256, 512), (128, 384), (256, 768)]
+CONFIGS = [(256, 512), (256, 384), (128, 256),
+           (256, 512), (256, 384), (128, 256)]
 K = 20
 
 
@@ -78,9 +78,10 @@ for blk, gw in CONFIGS:
     res.setdefault(key, []).append(dt * 1e3)
     print(f"BLK={blk} GW={gw}: bin_step {dt*1e3:.2f} ms", flush=True)
 
-# sanity: all configs produce identical binnings
-expand_lib.BLK, expand_lib.GW = 512, 1024
-ref = steps[(512, 1024)](params)
+# sanity: all configs produce identical binnings (vs the first config)
+ref_key = CONFIGS[0]
+expand_lib.BLK, expand_lib.GW = ref_key
+ref = steps[ref_key](params)
 for key, fn in steps.items():
     expand_lib.BLK, expand_lib.GW = key
     b = fn(params)
